@@ -1,0 +1,37 @@
+"""Batched pairwise Euclidean distances.
+
+The reference leans on `torch.cdist` (cuBLAS under the hood) everywhere
+(src/learning/facetid_models/pair_distances.py:49,120,167,224,279,324).  The
+TPU-native formulation is the Gram-matrix expansion
+``sqrt(max(|q|^2 + |c|^2 - 2 q.c, 0))`` whose inner product lands on the MXU;
+XLA fuses the rest.  A Pallas-tiled variant for the serve path lives in
+aspire_tpu/ops/pallas/ (used when corpus tiles stream from HBM).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_l2(q: jax.Array, c: jax.Array, squared: bool = False) -> jax.Array:
+    """Pairwise L2 distances between two batched point sets.
+
+    q: f32[..., n, d]; c: f32[..., m, d] -> f32[..., n, m].
+
+    Computed via the Gram expansion so the contraction maps onto the MXU.
+    `squared=True` skips the sqrt (useful when only argmax/argmin order
+    matters and for kernels that fold the sqrt into a later step).
+    """
+    q = q.astype(jnp.float32)
+    c = c.astype(jnp.float32)
+    qq = jnp.sum(q * q, axis=-1)[..., :, None]
+    cc = jnp.sum(c * c, axis=-1)[..., None, :]
+    qc = jnp.einsum("...nd,...md->...nm", q, c, preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(qq + cc - 2.0 * qc, 0.0)
+    if squared:
+        return d2
+    # Safe sqrt: d(sqrt)/dx at 0 is inf, which poisons gradients at coincident
+    # points (e.g. zero-padded sentence slots).  Double-where keeps the zero
+    # and selects a zero subgradient there.
+    positive = d2 > 0
+    return jnp.where(positive, jnp.sqrt(jnp.where(positive, d2, 1.0)), 0.0)

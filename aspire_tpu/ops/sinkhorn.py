@@ -1,0 +1,183 @@
+"""Log-domain epsilon-scaled Sinkhorn solver, geomloss-compatible.
+
+The reference scores document pairs with geomloss's annealed symmetric
+Sinkhorn (``geomloss.SamplesLoss("sinkhorn", p=1, blur=0.05, scaling=0.9,
+debias=False)`` -- src/learning/facetid_models/pair_distances.py:68-91).
+geomloss is a CUDA/KeOps library; this module re-derives the same algorithm
+as pure XLA-friendly JAX so it jits, vmaps, shards, and differentiates on TPU:
+
+  * ground cost  C(x, y) = |x - y|_2          (geomloss "p=1")
+  * eps schedule: diameter -> blur, geometric with ratio `scaling`, with the
+    first value repeated (geomloss epsilon_schedule semantics) and a final
+    entry pinned at `blur`.
+  * symmetric Jacobi updates with 0.5-averaging per iteration,
+  * log-weights floored at -1e5 for zero-mass atoms (geomloss log_weights),
+  * final "extrapolation" half-step at eps=blur which is the only step
+    gradients flow through (geomloss detaches the loop; we stop_gradient it),
+  * balanced (reach=None) and unbalanced (reach=rho) damping.
+
+Because the iteration count depends on the data diameter, the loop runs a
+static `max_iters` bound with select-freezing past the true schedule length --
+the XLA-safe equivalent of geomloss's dynamic Python loop.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .cdist import pairwise_l2
+
+_LOG_WEIGHT_FLOOR = -100000.0
+
+
+def log_weights(a: jax.Array) -> jax.Array:
+    """log(a) with zero/negative mass floored at -1e5 (geomloss log_weights).
+
+    The inner clamp must be a *normal* f32 (subnormals are flushed to zero on
+    XLA backends, which would make maximum() tie at 0 and leak log(0) = -inf
+    into gradients).
+    """
+    return jnp.where(a > 0, jnp.log(jnp.maximum(a, 1e-30)), _LOG_WEIGHT_FLOOR)
+
+
+def max_diameter(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Scalar diameter of the joint point cloud: |max - min|_2 over coords.
+
+    Matches geomloss max_diameter: computed over ALL points of both clouds
+    flattened across the batch (including zero pads -- the reference feeds
+    padded reps straight into geomloss, so pads legitimately widen the box).
+    """
+    d = x.shape[-1]
+    xf = x.reshape(-1, d)
+    yf = y.reshape(-1, d)
+    mins = jnp.minimum(jnp.min(xf, axis=0), jnp.min(yf, axis=0))
+    maxs = jnp.maximum(jnp.max(xf, axis=0), jnp.max(yf, axis=0))
+    return jnp.linalg.norm(maxs - mins)
+
+
+def _softmin(eps: jax.Array, cost: jax.Array, h: jax.Array) -> jax.Array:
+    """softmin_eps(C, h)_i = -eps * logsumexp_j(h_j - C_ij / eps).
+
+    cost: f32[b, n, m]; h: f32[b, m] -> f32[b, n].
+    """
+    return -eps * jax.scipy.special.logsumexp(h[:, None, :] - cost / eps, axis=2)
+
+
+def _schedule_len(diameter: jax.Array, blur: float, scaling: float) -> jax.Array:
+    """Number of annealing-loop iterations = len(geomloss eps_list).
+
+    eps_list = [d] + [d * s^k for k in 0..K-1] + [blur] with
+    K = ceil(log(blur/d) / log(s)) (the np.arange count), so len = K + 2.
+    """
+    ratio = jnp.log(blur / jnp.maximum(diameter, 1e-30)) / jnp.log(scaling)
+    k = jnp.ceil(jnp.maximum(ratio, 0.0)).astype(jnp.int32)
+    return k + 2
+
+
+def _eps_at(i: jax.Array, diameter: jax.Array, blur: float, scaling: float) -> jax.Array:
+    """eps_list[i]: [d, d, d*s, d*s^2, ..., blur] with a floor at blur."""
+    k = jnp.maximum(i - 1, 0).astype(jnp.float32)
+    return jnp.maximum(diameter * jnp.power(scaling, k), blur)
+
+
+@partial(jax.jit, static_argnames=("blur", "scaling", "reach", "max_iters", "use_cost"))
+def sinkhorn_potentials(
+    a: jax.Array,
+    x: jax.Array,
+    b: jax.Array,
+    y: jax.Array,
+    blur: float = 0.05,
+    scaling: float = 0.9,
+    reach: float | None = None,
+    max_iters: int = 128,
+    cost: jax.Array | None = None,
+    use_cost: bool = False,
+):
+    """Solve regularized OT between weighted point clouds; return potentials.
+
+    a: f32[bsz, n] source weights (may contain zeros for pads)
+    x: f32[bsz, n, d] source points
+    b: f32[bsz, m] target weights
+    y: f32[bsz, m, d] target points
+    cost: optional precomputed f32[bsz, n, m] ground cost (pass use_cost=True);
+        otherwise the L2 ("p=1") cost is computed from x, y.
+
+    Returns (f, g): potentials f32[bsz, n], f32[bsz, m] such that the balanced
+    OT cost is sum(a * f + b * g) -- exactly geomloss's potentials=True output
+    for debias=False.
+    """
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    if use_cost:
+        c_xy = cost.astype(jnp.float32)
+    else:
+        c_xy = pairwise_l2(x, y)
+    c_yx = jnp.swapaxes(c_xy, 1, 2)
+
+    diameter = jax.lax.stop_gradient(max_diameter(x, y))
+    n_iters = _schedule_len(diameter, blur, scaling)
+
+    log_a = log_weights(a)
+    log_b = log_weights(b)
+
+    # --- Annealing loop: constant w.r.t. gradients (geomloss detaches it). ---
+    c_xy_ng = jax.lax.stop_gradient(c_xy)
+    c_yx_ng = jax.lax.stop_gradient(c_yx)
+    log_a_ng = jax.lax.stop_gradient(log_a)
+    log_b_ng = jax.lax.stop_gradient(log_b)
+
+    def damping(eps):
+        if reach is None:
+            return 1.0
+        rho = float(reach)  # rho = reach ** p with p = 1
+        return 1.0 / (1.0 + eps / rho)
+
+    eps0 = _eps_at(jnp.int32(0), diameter, blur, scaling)
+    f = damping(eps0) * _softmin(eps0, c_xy_ng, log_b_ng)
+    g = damping(eps0) * _softmin(eps0, c_yx_ng, log_a_ng)
+
+    def body(i, fg):
+        f, g = fg
+        eps = _eps_at(i, diameter, blur, scaling)
+        ft = damping(eps) * _softmin(eps, c_xy_ng, log_b_ng + g / eps)
+        gt = damping(eps) * _softmin(eps, c_yx_ng, log_a_ng + f / eps)
+        f_new = 0.5 * (f + ft)
+        g_new = 0.5 * (g + gt)
+        live = i < n_iters
+        f = jnp.where(live, f_new, f)
+        g = jnp.where(live, g_new, g)
+        return (f, g)
+
+    f, g = jax.lax.fori_loop(0, max_iters, body, (f, g))
+    f = jax.lax.stop_gradient(f)
+    g = jax.lax.stop_gradient(g)
+
+    # --- Final extrapolation at eps = blur: the differentiable step. ---
+    damp = damping(jnp.float32(blur))
+    f_out = damp * _softmin(jnp.float32(blur), c_xy, log_b + g / blur)
+    g_out = damp * _softmin(jnp.float32(blur), c_yx, log_a + f / blur)
+    return f_out, g_out
+
+
+def sinkhorn_cost(
+    a: jax.Array,
+    f: jax.Array,
+    b: jax.Array,
+    g: jax.Array,
+    blur: float = 0.05,
+    reach: float | None = None,
+) -> jax.Array:
+    """OT cost from potentials: geomloss sinkhorn_cost with debias=False.
+
+    Balanced: <a, f> + <b, g>.  Unbalanced: the KL-relaxed dual value with the
+    (rho + eps/2) weighting geomloss applies.
+    """
+    if reach is None:
+        return jnp.sum(a * f, axis=-1) + jnp.sum(b * g, axis=-1)
+    rho = float(reach)
+    w = rho + blur / 2.0
+    fa = w * (1.0 - jnp.exp(-f / rho))
+    gb = w * (1.0 - jnp.exp(-g / rho))
+    return jnp.sum(a * fa, axis=-1) + jnp.sum(b * gb, axis=-1)

@@ -1,0 +1,113 @@
+"""Validation of the geomloss-compatible Sinkhorn solver.
+
+Three independent checks (geomloss itself is unavailable in this image):
+1. float64 numpy restatement of the annealed symmetric Sinkhorn with the
+   geomloss schedule (tests/oracles.py) -- potentials must match closely.
+2. exact (unregularized) OT from scipy linprog -- the Sinkhorn cost at small
+   blur must approach it from above-ish within O(blur * log) slack.
+3. structural checks: recovered transport plan has the right marginals;
+   gradients flow through the final extrapolation.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aspire_tpu.core.types import MultiVec
+from aspire_tpu.ops.sinkhorn import sinkhorn_potentials, sinkhorn_cost
+from aspire_tpu.ops.distances import wasserstein_dist, ot_marginals
+from oracles import geomloss_style_sinkhorn, exact_ot_cost, np_cdist
+
+
+def rand_cloud(rng, n, m, d, pad_n=0, pad_m=0):
+    x = rng.normal(size=(n + pad_n, d)).astype(np.float32)
+    y = rng.normal(size=(m + pad_m, d)).astype(np.float32)
+    x[n:] = 0.0
+    y[m:] = 0.0
+    a = np.zeros(n + pad_n, np.float32)
+    b = np.zeros(m + pad_m, np.float32)
+    a[:n] = rng.random(n).astype(np.float32) + 0.1
+    b[:m] = rng.random(m).astype(np.float32) + 0.1
+    a /= a.sum()
+    b /= b.sum()
+    return a, x, b, y
+
+
+def test_potentials_match_float64_oracle(rng):
+    a, x, b, y = rand_cloud(rng, n=6, m=9, d=4)
+    f, g = sinkhorn_potentials(a[None], x[None], b[None], y[None])
+    f, g = np.asarray(f)[0], np.asarray(g)[0]
+    f64, g64, _ = geomloss_style_sinkhorn(a, x, b, y)
+    np.testing.assert_allclose(f, f64, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(g, g64, rtol=1e-3, atol=1e-3)
+
+
+def test_potentials_match_oracle_with_pads(rng):
+    a, x, b, y = rand_cloud(rng, n=5, m=4, d=4, pad_n=3, pad_m=2)
+    f, g = sinkhorn_potentials(a[None], x[None], b[None], y[None])
+    f, g = np.asarray(f)[0], np.asarray(g)[0]
+    f64, g64, _ = geomloss_style_sinkhorn(a, x, b, y)
+    # only compare on atoms that carry mass; pad potentials are irrelevant
+    np.testing.assert_allclose(f[:5], f64[:5], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(g[:4], g64[:4], rtol=1e-3, atol=1e-3)
+
+
+def test_cost_approaches_exact_ot(rng):
+    a, x, b, y = rand_cloud(rng, n=5, m=6, d=3)
+    cost = np_cdist(x.astype(np.float64), y.astype(np.float64))
+    exact = exact_ot_cost(a.astype(np.float64), b.astype(np.float64), cost)
+    f, g = sinkhorn_potentials(a[None], x[None], b[None], y[None],
+                               blur=0.01, scaling=0.95)
+    approx = float(np.asarray(sinkhorn_cost(jnp.asarray(a[None]), f, jnp.asarray(b[None]), g, blur=0.01))[0])
+    # entropic bias is O(blur * log(nm))
+    assert abs(approx - exact) < 0.05, (approx, exact)
+
+
+def test_plan_marginals(rng):
+    q = rng.normal(size=(2, 8, 16)).astype(np.float32)
+    c = rng.normal(size=(2, 6, 16)).astype(np.float32)
+    ql = np.array([8, 5], np.int32)
+    cl = np.array([6, 3], np.int32)
+    for i in range(2):
+        q[i, ql[i]:] = 0.0
+        c[i, cl[i]:] = 0.0
+    qv = MultiVec(embed=jnp.asarray(q), lens=jnp.asarray(ql))
+    cv = MultiVec(embed=jnp.asarray(c), lens=jnp.asarray(cl))
+    w, (a, b, pair_sims, plan, masked) = wasserstein_dist(qv, cv, temp=1.0, return_pair_sims=True)
+    plan = np.asarray(plan)
+    a, b = np.asarray(a), np.asarray(b)
+    for i in range(2):
+        # transport plan at blur=0.05 approximately satisfies both marginals
+        np.testing.assert_allclose(plan[i].sum(axis=1), a[i], atol=2e-2)
+        np.testing.assert_allclose(plan[i].sum(axis=0), b[i], atol=2e-2)
+        # no mass on pads
+        assert plan[i, ql[i]:, :].max(initial=0.0) < 1e-6
+        assert plan[i, :, cl[i]:].max(initial=0.0) < 1e-6
+    # the plan-weighted similarity sum is a (negative) similarity score
+    assert np.asarray(w).shape == (2,)
+
+
+def test_wasserstein_train_grad_flows(rng):
+    q = jnp.asarray(rng.normal(size=(2, 5, 8)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(2, 4, 8)).astype(np.float32))
+    qv_lens = jnp.array([5, 3], jnp.int32)
+    cv_lens = jnp.array([4, 4], jnp.int32)
+
+    def loss(qe):
+        qv = MultiVec(embed=qe, lens=qv_lens)
+        cv = MultiVec(embed=c, lens=cv_lens)
+        return jnp.sum(wasserstein_dist(qv, cv, temp=1.0))
+
+    g = jax.grad(loss)(q)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0.0
+
+
+def test_sinkhorn_jit_and_vmap_consistency(rng):
+    # batch solve == per-example solve (identical diameters via same cloud box)
+    a, x, b, y = rand_cloud(rng, n=6, m=6, d=4)
+    f1, g1 = sinkhorn_potentials(a[None], x[None], b[None], y[None])
+    # duplicated batch gives identical rows
+    f2, g2 = sinkhorn_potentials(
+        np.stack([a, a]), np.stack([x, x]), np.stack([b, b]), np.stack([y, y]))
+    np.testing.assert_allclose(np.asarray(f2)[0], np.asarray(f2)[1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f1)[0], np.asarray(f2)[0], atol=1e-5)
