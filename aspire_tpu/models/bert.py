@@ -1,0 +1,149 @@
+"""Flax BERT encoder (built from scratch, TPU-first).
+
+Replaces the reference's `transformers.AutoModel` usage
+(src/learning/facetid_models/disent_models.py:229,506).  Design notes:
+
+  * all dense contractions carry `preferred_element_type=float32` and the
+    module takes a `dtype` knob so activations can run in bfloat16 on the MXU
+    while params/layernorms stay float32;
+  * returns the full tuple of hidden states (embeddings + every layer) so the
+    scalar-mix bi-encoder (SoftmaxMixLayers) can weight across layers;
+  * attention mask is additive (large negative at pads), folded pre-softmax;
+  * static shapes everywhere; the caller buckets sequence lengths.
+
+Parameter tree mirrors HF BERT naming closely so checkpoint conversion
+(convert.py) is a mechanical rename.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 31090          # scibert_scivocab_uncased
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+
+    @classmethod
+    def tiny(cls, **kw) -> "BertConfig":
+        """Small config for tests."""
+        base = dict(vocab_size=128, hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=4, intermediate_size=64,
+                    max_position_embeddings=64)
+        base.update(kw)
+        return cls(**base)
+
+
+class BertEmbeddings(nn.Module):
+    config: BertConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids, deterministic=True):
+        cfg = self.config
+        seq_len = input_ids.shape[1]
+        word = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="word_embeddings",
+                        dtype=self.dtype, param_dtype=jnp.float32)(input_ids)
+        pos_ids = jnp.arange(seq_len, dtype=jnp.int32)[None, :]
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                       name="position_embeddings", dtype=self.dtype,
+                       param_dtype=jnp.float32)(pos_ids)
+        typ = nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
+                       name="token_type_embeddings", dtype=self.dtype,
+                       param_dtype=jnp.float32)(token_type_ids)
+        x = word + pos + typ
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="LayerNorm",
+                         dtype=jnp.float32)(x)
+        x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
+        return x.astype(self.dtype)
+
+
+class BertSelfAttention(nn.Module):
+    config: BertConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias, deterministic=True):
+        cfg = self.config
+        h, nh = cfg.hidden_size, cfg.num_attention_heads
+        hd = h // nh
+        dense = lambda name: nn.Dense(h, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        q = dense("query")(x).reshape(*x.shape[:2], nh, hd)
+        k = dense("key")(x).reshape(*x.shape[:2], nh, hd)
+        v = dense("value")(x).reshape(*x.shape[:2], nh, hd)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.float32(hd))
+        scores = scores + attn_bias  # [b, 1, 1, k] additive
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
+            probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                         preferred_element_type=jnp.float32)
+        return ctx.reshape(*x.shape[:2], h).astype(self.dtype)
+
+
+class BertLayer(nn.Module):
+    config: BertConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias, deterministic=True):
+        cfg = self.config
+        attn_out = BertSelfAttention(cfg, self.dtype, name="attention_self")(
+            x, attn_bias, deterministic)
+        attn_out = nn.Dense(cfg.hidden_size, dtype=self.dtype,
+                            param_dtype=jnp.float32, name="attention_output_dense")(attn_out)
+        attn_out = nn.Dropout(cfg.hidden_dropout_prob)(attn_out, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="attention_output_LayerNorm")(x + attn_out).astype(self.dtype)
+        inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="intermediate_dense")(x)
+        inter = nn.gelu(inter, approximate=False)
+        out = nn.Dense(cfg.hidden_size, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="output_dense")(inter)
+        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="output_LayerNorm")(x + out).astype(self.dtype)
+        return x
+
+
+class BertModel(nn.Module):
+    """BERT encoder returning all hidden states (embeddings + each layer).
+
+    `__call__` -> (last_hidden_state f32[b, t, h],
+                   hidden_states tuple of layer_count+1 arrays).
+    """
+
+    config: BertConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, token_type_ids=None,
+                 deterministic: bool = True):
+        cfg = self.config
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        x = BertEmbeddings(cfg, self.dtype, name="embeddings")(
+            input_ids, token_type_ids, deterministic)
+        attn_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9
+                              ).astype(jnp.float32)
+        hidden_states = [x.astype(jnp.float32)]
+        for i in range(cfg.num_hidden_layers):
+            x = BertLayer(cfg, self.dtype, name=f"layer_{i}")(
+                x, attn_bias, deterministic)
+            hidden_states.append(x.astype(jnp.float32))
+        return hidden_states[-1], tuple(hidden_states)

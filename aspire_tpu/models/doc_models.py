@@ -1,0 +1,244 @@
+"""Document-similarity model zoo: encoders + training losses + scoring.
+
+TPU re-design of src/learning/facetid_models/disent_models.py.  One class per
+reference model family, all sharing the same functional skeleton:
+
+  * `init_params(rng)`         -- build the Flax param tree
+  * `encode(params, feats)`    -- features -> (doc_cls, MultiVec sentence reps)
+  * `train_loss(params, batch, rng)` -- triplet losses with in-batch negatives
+  * `score_reps(q, c)`         -- test-time similarity from cached reps
+                                  (reference caching_score, disent_models.py:256-342)
+
+Model registry names match main_fsim.py:91-99:
+  cospecter      -> CLS bi-encoder, scalar layer mix, L2 triplet
+  miswordbienc   -> contextual sentence reps, pluggable distance triplet
+  sbalisentbienc -> + pre-aligned sentence supervision (tsAspire / ts+otAspire)
+  miswordpolyenc -> poly-encoder joint-softmax distance
+
+Training batches are pytrees of static-shape arrays (see text/tokenize.py);
+losses mirror the reference exactly: TripletMarginWithDistanceLoss(margin=1,
+reduction='sum') over distances, torch TripletMarginLoss(margin=1, p=2) for
+CLS reps, in-batch negatives via permutation of positives
+(disent_models.py:447-467,802-837).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import ModelHParams
+from ..core.types import MultiVec
+from ..ops.distances import (
+    get_dist_function, l2sup_dist, l2sup_weighted_dist,
+)
+from ..ops.cdist import pairwise_l2
+from .bert import BertConfig
+from .encoders import ConSentEncoder, BiEncoder
+
+
+def _triplet_margin(d_ap: jax.Array, d_an: jax.Array, margin: float = 1.0) -> jax.Array:
+    """sum(relu(d(a,p) - d(a,n) + margin)) -- torch TripletMarginWithDistanceLoss."""
+    return jnp.sum(jnp.maximum(d_ap - d_an + margin, 0.0))
+
+
+def _cls_l2_triplet(q: jax.Array, p: jax.Array, n: jax.Array, margin: float = 1.0) -> jax.Array:
+    """torch TripletMarginLoss(margin=1, p=2, reduction='sum') on CLS reps."""
+    d_ap = jnp.linalg.norm(q - p + 1e-6, axis=-1)
+    d_an = jnp.linalg.norm(q - n + 1e-6, axis=-1)
+    return jnp.sum(jnp.maximum(d_ap - d_an + margin, 0.0))
+
+
+def _svalue_l1(q_sents: MultiVec, p_sents: MultiVec) -> jax.Array:
+    """L1 norm of singular values of the cross-doc similarity matrix
+    (sparsity regularizer, disent_models.py:459-467)."""
+    pair_sims = -pairwise_l2(q_sents.embed, p_sents.embed)
+    svals = jnp.linalg.svd(pair_sims, compute_uv=False)
+    return jnp.sum(jnp.abs(svals))
+
+
+def _feats_args(feats: dict) -> tuple:
+    return (feats["token_ids"], feats["attn_mask"], feats["sent_ids"])
+
+
+class ConSentDocModel:
+    """Shared skeleton for the contextual-sentence models
+    (miswordbienc / sbalisentbienc / miswordpolyenc)."""
+
+    def __init__(self, hp: ModelHParams, bert_config: BertConfig,
+                 dtype: Any = jnp.float32):
+        self.hp = hp
+        self.bert_config = bert_config
+        self.encoder = ConSentEncoder(bert_config, max_sents=hp.max_sents, dtype=dtype)
+        agg = "l2max" if hp.score_aggregation == "l2lse" else hp.score_aggregation
+        self.dist_fn = get_dist_function(agg, hp)
+        if hp.model_name == "miswordpolyenc":
+            self.dist_fn = get_dist_function("jointsm", hp)
+        self.sent_loss_prop = float(hp.sent_loss_prop)
+        self.abs_loss_prop = float(hp.abs_loss_prop)
+        self.sentsup_loss_prop = float(hp.sentsup_loss_prop)
+        self.cd_svalue_l1_prop = float(hp.cd_svalue_l1_prop)
+
+    # ---- params ----
+    def init_params(self, rng: jax.Array, seq_len: int = 64) -> dict:
+        fb = {
+            "token_ids": jnp.zeros((1, seq_len), jnp.int32),
+            "attn_mask": jnp.ones((1, seq_len), jnp.int32),
+            "sent_ids": jnp.zeros((1, seq_len), jnp.int32),
+        }
+        return self.encoder.init(rng, *_feats_args(fb))["params"]
+
+    # ---- encode ----
+    def encode(self, params: dict, feats: dict,
+               deterministic: bool = True, rng: jax.Array | None = None):
+        """-> (doc_cls f32[b, h], MultiVec sentence reps)."""
+        kwargs = {}
+        if not deterministic:
+            kwargs = {"deterministic": False, "rngs": {"dropout": rng}}
+        cls, sents = self.encoder.apply({"params": params}, *_feats_args(feats), **kwargs)
+        return cls, MultiVec(embed=sents, lens=feats["abs_lens"])
+
+    # ---- test-time scoring from cached reps ----
+    def score_reps(self, q_cls, q_sents: MultiVec, c_cls, c_sents: MultiVec):
+        """Similarity scores (higher = more similar), reference caching_score
+        semantics (disent_models.py:294-307): sent-level sims scaled by the
+        dominant sentence-loss proportion plus optional CLS-distance term."""
+        sims, pair = self.dist_fn(q_sents, c_sents, return_pair_sims=True)
+        prop = max(self.sent_loss_prop, self.sentsup_loss_prop)
+        scores = prop * sims
+        if self.abs_loss_prop > 0.0:
+            doc_sims = -jnp.linalg.norm(q_cls - c_cls + 1e-6, axis=-1)
+            scores = scores + self.abs_loss_prop * doc_sims
+        return scores, pair
+
+    # ---- training ----
+    def train_loss(self, params: dict, batch: dict, rng: jax.Array,
+                   train: bool = True) -> jax.Array:
+        """Triplet loss over (query, pos, neg-or-in-batch-negatives).
+
+        batch: {'query': feats, 'pos': feats [+ 'align' i32[b,2]],
+                optional 'neg': feats} (dev sets carry explicit negatives).
+        """
+        perm_rng, q_rng, p_rng, n_rng = jax.random.split(rng, 4)
+        q_cls, q_sents = self.encode(params, batch["query"],
+                                     deterministic=not train, rng=q_rng)
+        p_cls, p_sents = self.encode(params, batch["pos"],
+                                     deterministic=not train, rng=p_rng)
+        if "neg" in batch:
+            n_cls, n_sents = self.encode(params, batch["neg"],
+                                         deterministic=not train, rng=n_rng)
+            perm = None
+        else:
+            b = q_cls.shape[0]
+            perm = jax.random.permutation(perm_rng, b)
+            n_cls = p_cls[perm]
+            n_sents = MultiVec(embed=p_sents.embed[perm], lens=p_sents.lens[perm])
+        return self._combine_losses(batch, q_cls, q_sents, p_cls, p_sents,
+                                    n_cls, n_sents, perm)
+
+    def _combine_losses(self, batch, q_cls, q_sents, p_cls, p_sents,
+                        n_cls, n_sents, perm):
+        loss = _triplet_margin(self.dist_fn(q_sents, p_sents),
+                               self.dist_fn(q_sents, n_sents))
+        if self.cd_svalue_l1_prop > 0 and perm is not None:
+            loss = loss + self.cd_svalue_l1_prop * _svalue_l1(q_sents, p_sents)
+        return loss
+
+
+class WordSentAlignModel(ConSentDocModel):
+    """miswordbienc / miswordpolyenc (disent_models.py:208-535,840-925)."""
+
+
+class WordSentAbsSupAlignModel(ConSentDocModel):
+    """sbalisentbienc: tsAspire/ts+otAspire with pre-aligned sentence
+    supervision (disent_models.py:663-837)."""
+
+    def __init__(self, hp: ModelHParams, bert_config: BertConfig,
+                 dtype: Any = jnp.float32):
+        super().__init__(hp, bert_config, dtype)
+        self.sup_fn = l2sup_weighted_dist if hp.weighted_sup else l2sup_dist
+
+    def _combine_losses(self, batch, q_cls, q_sents, p_cls, p_sents,
+                        n_cls, n_sents, perm):
+        if perm is None:
+            # Dev set: "predictions" not pre-alignments (disent_models.py:796-801).
+            loss = _triplet_margin(self.dist_fn(q_sents, p_sents),
+                                   self.dist_fn(q_sents, n_sents))
+            if self.abs_loss_prop > 0:
+                loss = loss + self.abs_loss_prop * _cls_l2_triplet(q_cls, p_cls, n_cls)
+            return loss
+        pos_align = batch["pos"]["align"]
+        neg_align = pos_align[perm]
+        p_ali = MultiVec(embed=p_sents.embed, lens=p_sents.lens, align=pos_align)
+        n_ali = MultiVec(embed=n_sents.embed, lens=n_sents.lens, align=neg_align)
+        loss = self.sentsup_loss_prop * _triplet_margin(
+            self.sup_fn(q_sents, p_ali), self.sup_fn(q_sents, n_ali))
+        if self.sent_loss_prop > 0:
+            loss = loss + self.sent_loss_prop * _triplet_margin(
+                self.dist_fn(q_sents, p_sents), self.dist_fn(q_sents, n_sents))
+        if self.abs_loss_prop > 0:
+            loss = loss + self.abs_loss_prop * _cls_l2_triplet(q_cls, p_cls, n_cls)
+        if self.cd_svalue_l1_prop > 0:
+            loss = loss + self.cd_svalue_l1_prop * _svalue_l1(q_sents, p_sents)
+        return loss
+
+
+class SpecterDocModel:
+    """cospecter: CLS bi-encoder with scalar layer mix (disent_models.py:24-205)."""
+
+    def __init__(self, hp: ModelHParams, bert_config: BertConfig,
+                 dtype: Any = jnp.float32):
+        self.hp = hp
+        self.bert_config = bert_config
+        self.encoder = BiEncoder(bert_config, dtype=dtype)
+
+    def init_params(self, rng: jax.Array, seq_len: int = 64) -> dict:
+        fb = {
+            "token_ids": jnp.zeros((1, seq_len), jnp.int32),
+            "attn_mask": jnp.ones((1, seq_len), jnp.int32),
+        }
+        return self.encoder.init(rng, fb["token_ids"], fb["attn_mask"])["params"]
+
+    def encode(self, params: dict, feats: dict,
+               deterministic: bool = True, rng: jax.Array | None = None):
+        kwargs = {}
+        if not deterministic:
+            kwargs = {"deterministic": False, "rngs": {"dropout": rng}}
+        cls = self.encoder.apply({"params": params}, feats["token_ids"],
+                                 feats["attn_mask"], **kwargs)
+        return cls, None
+
+    def score_reps(self, q_cls, q_sents, c_cls, c_sents):
+        """-L2 distance between CLS reps (disent_models.py:76)."""
+        scores = -jnp.linalg.norm(q_cls - c_cls, axis=-1)
+        return scores, scores
+
+    def train_loss(self, params: dict, batch: dict, rng: jax.Array,
+                   train: bool = True) -> jax.Array:
+        perm_rng, q_rng, p_rng, n_rng = jax.random.split(rng, 4)
+        q_cls, _ = self.encode(params, batch["query"], deterministic=not train, rng=q_rng)
+        p_cls, _ = self.encode(params, batch["pos"], deterministic=not train, rng=p_rng)
+        if "neg" in batch:
+            n_cls, _ = self.encode(params, batch["neg"], deterministic=not train, rng=n_rng)
+        else:
+            perm = jax.random.permutation(perm_rng, q_cls.shape[0])
+            n_cls = p_cls[perm]
+        return _cls_l2_triplet(q_cls, p_cls, n_cls)
+
+
+MODEL_REGISTRY = {
+    "cospecter": SpecterDocModel,
+    "miswordbienc": WordSentAlignModel,
+    "miswordpolyenc": WordSentAlignModel,
+    "sbalisentbienc": WordSentAbsSupAlignModel,
+}
+
+
+def build_model(hp: ModelHParams, bert_config: BertConfig, dtype: Any = jnp.float32):
+    """Model factory keyed by the reference registry (main_fsim.py:91-99)."""
+    try:
+        cls = MODEL_REGISTRY[hp.model_name]
+    except KeyError:
+        raise ValueError(f"Unknown model: {hp.model_name}") from None
+    return cls(hp, bert_config, dtype)

@@ -1,0 +1,96 @@
+"""Model-zoo tests: loss finiteness/gradients, scoring semantics."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aspire_tpu.core.config import ModelHParams
+from aspire_tpu.models.bert import BertConfig
+from aspire_tpu.models.doc_models import build_model, _cls_l2_triplet
+
+CFG = BertConfig.tiny()
+
+
+def make_feats(rng, b=3, t=24, smax=4, with_align=False):
+    f = {
+        "token_ids": jnp.asarray(rng.integers(5, 128, size=(b, t)).astype(np.int32)),
+        "attn_mask": jnp.asarray(np.ones((b, t), np.int32)),
+        "sent_ids": jnp.asarray(np.clip(rng.integers(-1, smax, size=(b, t)), -1, smax - 1).astype(np.int32)),
+        "abs_lens": jnp.asarray(rng.integers(1, smax + 1, size=b).astype(np.int32)),
+    }
+    if with_align:
+        f["align"] = jnp.asarray(rng.integers(0, smax, size=(b, 2)).astype(np.int32))
+    return f
+
+
+def hp_for(name, **kw):
+    base = dict(model_name=name, max_sents=4)
+    base.update(kw)
+    return ModelHParams(**base)
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("cospecter", {}),
+    ("miswordbienc", {"score_aggregation": "l2max"}),
+    ("miswordbienc", {"score_aggregation": "l2wasserstein", "sent_sm_temp": 5000.0}),
+    ("miswordbienc", {"score_aggregation": "l2attention"}),
+    ("miswordpolyenc", {"score_aggregation": "jointsm"}),
+    ("sbalisentbienc", {"score_aggregation": "l2lse", "sentsup_loss_prop": 1.0,
+                        "sent_loss_prop": 0.0}),
+    ("sbalisentbienc", {"score_aggregation": "l2wasserstein", "sentsup_loss_prop": 1.0,
+                        "sent_loss_prop": 0.5, "abs_loss_prop": 0.1}),
+])
+def test_train_loss_and_grad(rng, name, kw):
+    hp = hp_for(name, **kw)
+    model = build_model(hp, CFG)
+    params = model.init_params(jax.random.key(0))
+    batch = {
+        "query": make_feats(rng),
+        "pos": make_feats(rng, with_align=(name == "sbalisentbienc")),
+    }
+    key = jax.random.key(1)
+    loss, grads = jax.value_and_grad(model.train_loss)(params, batch, key)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    gnorm = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+    assert gnorm > 0.0
+
+
+def test_dev_loss_with_explicit_negatives(rng):
+    hp = hp_for("sbalisentbienc", score_aggregation="l2lse", sentsup_loss_prop=1.0)
+    model = build_model(hp, CFG)
+    params = model.init_params(jax.random.key(0))
+    batch = {
+        "query": make_feats(rng),
+        "pos": make_feats(rng, with_align=True),
+        "neg": make_feats(rng),
+    }
+    loss = model.train_loss(params, batch, jax.random.key(1), train=False)
+    assert np.isfinite(float(loss))
+
+
+def test_score_reps_l2max_semantics(rng):
+    hp = hp_for("miswordbienc", score_aggregation="l2max")
+    model = build_model(hp, CFG)
+    params = model.init_params(jax.random.key(0))
+    q = make_feats(rng)
+    c = make_feats(rng)
+    q_cls, q_sents = model.encode(params, q)
+    c_cls, c_sents = model.encode(params, c)
+    scores, pair = model.score_reps(q_cls, q_sents, c_cls, c_sents)
+    assert scores.shape == (3,)
+    # identical docs score 0 under l2max (best distance 0)
+    s_same, _ = model.score_reps(q_cls, q_sents, q_cls, q_sents)
+    np.testing.assert_allclose(np.asarray(s_same), 0.0, atol=1e-4)
+
+
+def test_cls_triplet_matches_torch(rng):
+    import torch
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    p = rng.normal(size=(4, 16)).astype(np.float32)
+    n = rng.normal(size=(4, 16)).astype(np.float32)
+    got = float(_cls_l2_triplet(jnp.asarray(q), jnp.asarray(p), jnp.asarray(n)))
+    crit = torch.nn.TripletMarginLoss(margin=1, p=2, reduction="sum")
+    want = float(crit(torch.tensor(q), torch.tensor(p), torch.tensor(n)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
