@@ -1,0 +1,128 @@
+"""Training-data readers: co-citation triple jsonl -> static-shape batches.
+
+Consumes the reference's training file contracts
+(src/pre_process/pre_proc_cocits.py:300-312,495-521): one json per line with
+  query:       {'TITLE': str, 'ABSTRACT': [str, ...], optional 'cc_align'/'abs_align'}
+  pos_context: same shape
+  neg_context: present only in dev files (frozen pre-sampled negatives)
+
+and assembles superbatches [n_micro, micro_batch, ...] for the jitted
+grad-accumulation train step.  Sequence length is FIXED per stream (default
+512) so the step compiles once -- the TPU answer to the reference's per-batch
+dynamic padding (batchers.py:217-252).
+"""
+from __future__ import annotations
+
+import codecs
+import json
+from typing import Iterator
+
+import numpy as np
+
+from ..core.config import ModelHParams
+from ..text.tokenize import prepare_abstracts, FeatureBatch
+
+
+def read_jsonl(path: str) -> Iterator[dict]:
+    with codecs.open(path, "r", "utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                yield json.loads(line)
+
+
+def _fb_to_dict(fb: FeatureBatch) -> dict:
+    return {
+        "token_ids": fb.token_ids, "attn_mask": fb.attn_mask,
+        "sent_ids": fb.sent_ids, "abs_lens": fb.abs_lens,
+    }
+
+
+def _featurize(texts: list[dict], tokenizer, hp: ModelHParams, seq_len: int,
+               align_type: str | None = None) -> dict:
+    fb = prepare_abstracts(texts, tokenizer, max_sents=hp.max_sents,
+                           seq_len=seq_len)
+    out = _fb_to_dict(fb)
+    if align_type is not None and all(align_type in t for t in texts):
+        out["align"] = np.asarray([t[align_type] for t in texts], np.int32)
+    return out
+
+
+class TripleStream:
+    """Yields train superbatches from a triple jsonl file.
+
+    Each yield: {'query': feats, 'pos': feats} with arrays stacked to
+    [n_micro, micro_batch, ...].  Trailing examples that do not fill a full
+    superbatch are dropped (static shapes; the reference similarly lets its
+    final accumulation group go unused, trainer.py:246-248).
+    """
+
+    def __init__(self, path: str, tokenizer, hp: ModelHParams,
+                 micro_batch: int, n_micro: int, seq_len: int = 512,
+                 align_type: str | None = None, max_examples: int | None = None):
+        self.path = path
+        self.tokenizer = tokenizer
+        self.hp = hp
+        self.micro_batch = micro_batch
+        self.n_micro = n_micro
+        self.seq_len = seq_len
+        self.align_type = align_type
+        self.max_examples = max_examples
+
+    def __iter__(self) -> Iterator[dict]:
+        micros: list[dict] = []
+        queries: list[dict] = []
+        positives: list[dict] = []
+        n_seen = 0
+        for ex in read_jsonl(self.path):
+            if self.max_examples is not None and n_seen >= self.max_examples:
+                break
+            queries.append(ex["query"])
+            positives.append(ex["pos_context"])
+            n_seen += 1
+            if len(queries) == self.micro_batch:
+                micros.append({
+                    "query": _featurize(queries, self.tokenizer, self.hp, self.seq_len),
+                    "pos": _featurize(positives, self.tokenizer, self.hp,
+                                      self.seq_len, self.align_type),
+                })
+                queries, positives = [], []
+                if len(micros) == self.n_micro:
+                    yield _stack_micros(micros)
+                    micros = []
+
+
+def _stack_micros(micros: list[dict]) -> dict:
+    out: dict = {}
+    for part in micros[0]:
+        out[part] = {k: np.stack([m[part][k] for m in micros])
+                     for k in micros[0][part]}
+    return out
+
+
+def dev_batches(path: str, tokenizer, hp: ModelHParams, batch_size: int,
+                seq_len: int = 512, align_type: str | None = None,
+                max_examples: int | None = None) -> Iterator[dict]:
+    """Flat dev batches with the frozen explicit negatives.
+
+    Incomplete trailing batches are dropped (static shapes; dev loss stays
+    comparable across checks because the same prefix is always used).
+    """
+    queries: list[dict] = []
+    positives: list[dict] = []
+    negatives: list[dict] = []
+    n_seen = 0
+    for ex in read_jsonl(path):
+        if max_examples is not None and n_seen >= max_examples:
+            break
+        queries.append(ex["query"])
+        positives.append(ex["pos_context"])
+        negatives.append(ex["neg_context"])
+        n_seen += 1
+        if len(queries) == batch_size:
+            yield {
+                "query": _featurize(queries, tokenizer, hp, seq_len),
+                "pos": _featurize(positives, tokenizer, hp, seq_len, align_type),
+                "neg": _featurize(negatives, tokenizer, hp, seq_len),
+            }
+            queries, positives, negatives = [], [], []

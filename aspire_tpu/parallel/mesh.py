@@ -1,0 +1,56 @@
+"""Device-mesh helpers: single-controller SPMD over ICI.
+
+Replaces the reference's torch.distributed/NCCL DDP stack
+(src/learning/main_fsim.py:36-50, trainer.py:476-803): no process groups, no
+per-rank data files, no explicit barriers.  A `Mesh` with a `data` axis (and
+an optional `shard` axis for the corpus index) + sharded array arguments is
+the whole distribution story; XLA inserts the gradient psums that DDP's
+backward hooks perform, and collectives ride ICI.
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh` and the
+same code runs over DCN-connected slices unchanged.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first `n_data` devices (default all)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is not None:
+        devices = devices[:n_data]
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def make_serving_mesh(n_shards: int | None = None, devices=None) -> Mesh:
+    """1-D corpus-sharding mesh for index serving."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_shards is not None:
+        devices = devices[:n_shards]
+    return Mesh(np.asarray(devices), ("shard",))
+
+
+def data_parallel_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the `data` mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch, mesh: Mesh, axis: int = 0):
+    """Shard every array in a batch pytree along `axis` over the data axis.
+
+    axis=0 for flat [batch, ...] pytrees; axis=1 for grad-accumulation
+    superbatches shaped [n_micro, micro_batch, ...].
+    """
+    spec = P(*([None] * axis + ["data"]))
+    sh = NamedSharding(mesh, spec)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (params/opt state) across the mesh."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,237 @@
+"""Data-parallel trainer: jitted SPMD train step + host-side control loop.
+
+TPU re-design of src/learning/trainer.py (GenericTrainer/BasicRankingTrainer
+and their DDP twins, :95-803).  What changes and why:
+
+  * ONE program instead of 1-process-per-GPU: the train step is `jax.jit`'d
+    with batch arrays sharded over the mesh `data` axis and params replicated;
+    XLA emits the gradient all-reduces over ICI that DDP performs with NCCL
+    hooks.  No per-rank files, no `dist.barrier` (trainer.py:693).
+  * Gradient accumulation (batch 3 -> effective 30 in the reference,
+    trainer.py:139-153) becomes a `lax.scan` over a [n_micro, micro, ...]
+    superbatch inside the step -- grads are summed exactly like repeated
+    `backward()` calls, with a single optimizer update at the end.
+  * Early stopping keeps the reference protocol: every `es_check_every` micro
+    iterations evaluate summed dev loss (explicit frozen negatives), track
+    `-loss` as the dev score, checkpoint `cur_best` on improvement and
+    `final` at the end (trainer.py:222-246,305-346).
+  * Checkpoints are orbax param trees + the `run_info.json` contract
+    (main_fsim.py:84-86).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import pathlib
+import time
+from functools import partial
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.config import RunConfig
+from ..parallel.mesh import make_mesh, shard_batch, replicate
+from .schedules import build_schedule
+
+log = logging.getLogger(__name__)
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array            # number of optimizer updates taken
+    params: Any
+    opt_state: Any
+
+
+class Trainer:
+    """Drives training of a doc_models.* model over a data mesh.
+
+    model: object exposing `train_loss(params, batch, rng, train)` and
+        `init_params(rng)` (see models/doc_models.py).
+    batches: iterator of superbatches -- pytrees whose arrays are
+        [n_micro, micro_batch, ...]; micro_batch must divide by mesh size.
+    dev_batches_fn: callable returning an iterator of dev batches (with
+        explicit negatives) for each early-stop check.
+    """
+
+    def __init__(self, model, run_config: RunConfig, model_path: str,
+                 mesh=None, early_stop: bool = True):
+        self.model = model
+        self.cfg = run_config
+        tp = run_config.train
+        self.tp = tp
+        self.model_path = pathlib.Path(model_path)
+        self.model_path.mkdir(parents=True, exist_ok=True)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.early_stop = early_stop
+
+        self.update_every = 1
+        if tp.accumulated_batch_size and tp.accumulated_batch_size > 0:
+            assert tp.accumulated_batch_size % tp.batch_size == 0
+            self.update_every = tp.accumulated_batch_size // tp.batch_size
+
+        schedule = build_schedule(tp)
+        update_every = self.update_every
+
+        def micro_schedule(count):
+            # optimizer update count -> micro-iteration count (reference
+            # schedules tick per micro iteration, trainer.py:289-291)
+            return schedule(count * update_every)
+
+        if tp.update_rule == "adam":
+            self.optimizer = optax.adam(micro_schedule)
+        elif tp.update_rule == "adagrad":
+            self.optimizer = optax.adagrad(micro_schedule)
+        else:
+            raise ValueError(f"Unknown update rule: {tp.update_rule}")
+
+        self._train_step = self._build_train_step()
+        self._dev_loss_step = self._build_dev_step()
+
+        self.loss_history: list[float] = []
+        self.loss_checked_iters: list[int] = []
+        self.dev_score_history: list[float] = []
+        self.dev_checked_iters: list[int] = []
+        self.time_per_batch = 0.0
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: jax.Array) -> TrainState:
+        params = self.model.init_params(rng)
+        params = replicate(params, self.mesh)
+        opt_state = self.optimizer.init(params)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=opt_state)
+
+    def _build_train_step(self):
+        model, optimizer = self.model, self.optimizer
+        repl = NamedSharding(self.mesh, P())
+
+        @partial(jax.jit, out_shardings=(repl, None), donate_argnums=(0,))
+        def train_step(state: TrainState, superbatch, rng):
+            n_micro = jax.tree_util.tree_leaves(superbatch)[0].shape[0]
+
+            def micro(carry, xs):
+                grads_acc, loss_acc = carry
+                batch, key = xs
+                loss, grads = jax.value_and_grad(model.train_loss)(
+                    state.params, batch, key, True)
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss), loss
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            keys = jax.random.split(rng, n_micro)
+            (grads, loss_sum), losses = jax.lax.scan(
+                micro, (zero_grads, 0.0), (superbatch, keys))
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(step=state.step + 1, params=new_params,
+                                   opt_state=new_opt)
+            return new_state, losses
+
+        return train_step
+
+    def _build_dev_step(self):
+        model = self.model
+
+        @jax.jit
+        def dev_loss(params, batch, rng):
+            return model.train_loss(params, batch, rng, False)
+
+        return dev_loss
+
+    # ------------------------------------------------------------------
+    def dev_score(self, state: TrainState, dev_batches: Iterator) -> float:
+        """-sum(dev loss) over the dev stream (predict_utils.batched_loss)."""
+        total = 0.0
+        key = jax.random.key(0)
+        for batch in dev_batches:
+            batch = shard_batch(batch, self.mesh)
+            total += float(self._dev_loss_step(state.params, batch, key))
+        return -total
+
+    def train(self, state: TrainState, batches: Iterator,
+              dev_batches_fn: Callable[[], Iterator] | None = None,
+              seed: int = 0) -> TrainState:
+        tp = self.tp
+        best_score = -np.inf
+        micro_iter = 0
+        rng = jax.random.key(seed)
+        t_start = time.time()
+        n_steps = 0
+        for superbatch in batches:
+            rng, step_rng = jax.random.split(rng)
+            sb = shard_batch(superbatch, self.mesh, axis=1)
+            state, losses = self._train_step(state, sb, step_rng)
+            n_micro = int(np.shape(losses)[0])
+            n_steps += 1
+            prev_iter = micro_iter
+            micro_iter += n_micro
+            if n_steps % 5 == 0 or n_steps == 1:
+                lvals = np.asarray(losses)
+                self.loss_history.extend(float(x) for x in lvals)
+                self.loss_checked_iters.extend(range(prev_iter, micro_iter))
+                log.info("iter %d/%d loss %.4f", micro_iter,
+                         tp.num_epochs * max(1, tp.train_size // max(1, tp.batch_size)),
+                         float(lvals.mean()))
+            if (self.early_stop and dev_batches_fn is not None
+                    and micro_iter // tp.es_check_every > prev_iter // tp.es_check_every):
+                score = self.dev_score(state, dev_batches_fn())
+                self.dev_score_history.append(score)
+                self.dev_checked_iters.append(micro_iter)
+                if score > best_score:
+                    best_score = score
+                    self.save_checkpoint(state, "cur_best")
+                    log.info("iter %d new best dev score %.4f", micro_iter, score)
+                else:
+                    log.info("iter %d dev score %.4f", micro_iter, score)
+        self.time_per_batch = (time.time() - t_start) / max(1, n_steps)
+        self.save_checkpoint(state, "final")
+        if best_score == -np.inf:
+            # no dev checks ran; final is also the best
+            self.save_checkpoint(state, "cur_best")
+        self.plot_history()
+        return state
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, state: TrainState, suffix: str) -> None:
+        """orbax param checkpoint + run_info.json (reference model_{suffix}.pt
+        + run_info contract, trainer.py:53-92, main_fsim.py:84-86)."""
+        import orbax.checkpoint as ocp
+
+        path = (self.model_path / f"model_{suffix}").absolute()
+        ckptr = ocp.StandardCheckpointer()
+        params_np = jax.device_get(state.params)
+        ckptr.save(path, params_np, force=True)
+        ckptr.wait_until_finished()
+        self.cfg.to_run_info(self.model_path / "run_info.json")
+
+    def load_checkpoint(self, suffix: str):
+        import orbax.checkpoint as ocp
+
+        path = (self.model_path / f"model_{suffix}").absolute()
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(path)
+
+    def plot_history(self) -> None:
+        """Loss/dev-score curves (reference data_utils.plot_train_hist)."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:  # pragma: no cover
+            return
+        if self.loss_history:
+            fig, ax = plt.subplots()
+            ax.plot(self.loss_checked_iters, self.loss_history)
+            ax.set_xlabel("iteration"); ax.set_ylabel("loss")
+            fig.savefig(self.model_path / "train_loss.png"); plt.close(fig)
+        if self.dev_score_history:
+            fig, ax = plt.subplots()
+            ax.plot(self.dev_checked_iters, self.dev_score_history)
+            ax.set_xlabel("iteration"); ax.set_ylabel("dev score")
+            fig.savefig(self.model_path / "dev_score.png"); plt.close(fig)

@@ -1,0 +1,113 @@
+"""End-to-end training-loop test on the 8-device virtual CPU mesh."""
+import json
+import numpy as np
+import jax
+import pytest
+from transformers import BertTokenizer
+
+from aspire_tpu.core.config import RunConfig
+from aspire_tpu.models.bert import BertConfig
+from aspire_tpu.models.doc_models import build_model
+from aspire_tpu.train.trainer import Trainer
+from aspire_tpu.train.schedules import build_schedule
+from aspire_tpu.data.readers import TripleStream, dev_batches
+from aspire_tpu.parallel.mesh import make_mesh
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+
+@pytest.fixture(scope="module")
+def tok(tmp_path_factory):
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "title"] + WORDS
+    p = tmp_path_factory.mktemp("vocab") / "vocab.txt"
+    p.write_text("\n".join(vocab) + "\n")
+    return BertTokenizer(str(p), do_lower_case=True)
+
+
+def write_triples(path, n, rng, with_neg=False, with_align=False):
+    def doc():
+        n_sents = rng.integers(1, 4)
+        abstract = [" ".join(rng.choice(WORDS, size=rng.integers(2, 6)))
+                    for _ in range(n_sents)]
+        d = {"TITLE": "title " + rng.choice(WORDS), "ABSTRACT": abstract}
+        if with_align:
+            d["cc_align"] = [int(rng.integers(0, 3)), int(rng.integers(0, 3))]
+        return d
+    with open(path, "w") as f:
+        for _ in range(n):
+            ex = {"query": doc(), "pos_context": doc()}
+            if with_neg:
+                ex["neg_context"] = doc()
+            f.write(json.dumps(ex) + "\n")
+
+
+def test_schedule_warmuplin():
+    cfg = RunConfig.from_dict({
+        "model_name": "miswordbienc", "train_size": 3000, "batch_size": 3,
+        "num_warmup_steps": 100, "learning_rate": 1e-3,
+        "lr_decay_method": "warmuplin", "num_epochs": 1})
+    s = build_schedule(cfg.train)
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(100)), 1e-3, rtol=1e-5)
+    assert float(s(550)) < 1e-3
+    np.testing.assert_allclose(float(s(1000)), 0.0, atol=1e-9)
+
+
+def test_train_loop_dp(tmp_path, tok, rng):
+    write_triples(tmp_path / "train.jsonl", 64, rng, with_align=True)
+    write_triples(tmp_path / "dev.jsonl", 16, rng, with_neg=True, with_align=True)
+    cfg = RunConfig.from_dict({
+        "model_name": "sbalisentbienc", "score_aggregation": "l2lse",
+        "sentsup_loss_prop": 1.0, "sent_loss_prop": 0.0,
+        "train_size": 64, "dev_size": 16, "batch_size": 8,
+        "accumulated_batch_size": 16, "num_epochs": 1,
+        "learning_rate": 1e-4, "num_warmup_steps": 2,
+        "lr_decay_method": "warmuplin", "es_check_every": 4,
+        "max_sents": 4, "update_rule": "adam", "decay_lr_every": 1,
+    })
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    model = build_model(cfg.model, BertConfig.tiny(), )
+    trainer = Trainer(model, cfg, str(tmp_path / "run"), mesh=mesh)
+    state = trainer.init_state(jax.random.key(0))
+    p0 = jax.device_get(state.params)
+
+    stream = TripleStream(str(tmp_path / "train.jsonl"), tok, cfg.model,
+                          micro_batch=8, n_micro=2, seq_len=32,
+                          align_type="cc_align")
+    devfn = lambda: dev_batches(str(tmp_path / "dev.jsonl"), tok, cfg.model,
+                                batch_size=8, seq_len=32, align_type="cc_align")
+    state = trainer.train(state, iter(stream), devfn)
+    assert int(state.step) == 4  # 64 examples / (8*2) per superbatch
+    # params moved
+    p1 = jax.device_get(state.params)
+    diffs = jax.tree_util.tree_map(lambda a, b: float(np.abs(a - b).max()), p0, p1)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+    # dev checks ran and checkpoints exist & reload
+    assert trainer.dev_score_history
+    assert (tmp_path / "run" / "run_info.json").exists()
+    restored = trainer.load_checkpoint("final")
+    rdiff = jax.tree_util.tree_map(lambda a, b: float(np.abs(a - b).max()), restored, p1)
+    assert max(jax.tree_util.tree_leaves(rdiff)) == 0.0
+    # run_info round-trips
+    rc = RunConfig.from_run_info(tmp_path / "run" / "run_info.json")
+    assert rc.model.model_name == "sbalisentbienc"
+
+
+def test_train_step_batch_is_sharded(tmp_path, tok, rng):
+    # the train step must accept data sharded over all 8 devices
+    write_triples(tmp_path / "t.jsonl", 32, rng)
+    cfg = RunConfig.from_dict({
+        "model_name": "miswordbienc", "score_aggregation": "l2max",
+        "train_size": 32, "batch_size": 16, "accumulated_batch_size": -1,
+        "num_epochs": 1, "learning_rate": 1e-4, "num_warmup_steps": 2,
+        "lr_decay_method": "warmuplin", "es_check_every": 100,
+        "max_sents": 4, "update_rule": "adam", "decay_lr_every": 1})
+    mesh = make_mesh()
+    model = build_model(cfg.model, BertConfig.tiny())
+    trainer = Trainer(model, cfg, str(tmp_path / "run2"), mesh=mesh, early_stop=False)
+    state = trainer.init_state(jax.random.key(1))
+    stream = TripleStream(str(tmp_path / "t.jsonl"), tok, cfg.model,
+                          micro_batch=16, n_micro=1, seq_len=32)
+    state = trainer.train(state, iter(stream))
+    assert int(state.step) == 2
