@@ -1,0 +1,95 @@
+"""Evaluation protocols: per-query metrics -> aggregate scores.
+
+Two stacks mirrored from the reference:
+
+  * CSFCube 2-fold cross-validation over the paper's fixed per-facet query
+    splits (ranking_eval.py:18-80,216-322): dev = mean over fold1 only,
+    test = mean of (fold1 mean, fold2 mean).  The fold query lists ship as
+    data in csfcube_folds.json.
+  * split aggregation for RELISH/TRECCOVID/SciDocs (evaluate.py:85-160):
+    mean per metric over the dev/test query lists from
+    {name}-evaluation_splits.json.
+
+Plus Welch t-tests for method comparison (ranking_eval.py:611-713).
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+from statistics import mean
+
+import numpy as np
+
+from .metrics import compute_metrics
+
+_FOLDS_PATH = pathlib.Path(__file__).parent / "csfcube_folds.json"
+
+AGG_METRICS = (
+    "precision@5", "precision@10", "precision@20", "recall@20", "f1@20",
+    "r_precision", "av_precision", "reciprocal_rank", "ndcg", "ndcg@20",
+    "ndcg@50", "ndcg%5", "ndcg%10", "ndcg%15", "ndcg%20", "ndcg%25",
+)
+
+# reference names a few aggregates differently (ranking_eval.py:303-306)
+_RENAME = {"av_precision": "mean_av_precision",
+           "reciprocal_rank": "mean_reciprocal_rank"}
+
+
+def load_csfcube_folds() -> dict:
+    with open(_FOLDS_PATH) as f:
+        return json.load(f)
+
+
+def per_query_metrics(ranked_relevances: dict, threshold_grade: int = 2) -> dict:
+    """{qid: ranked graded judgements} -> {qid: metric dict}."""
+    return {qid: compute_metrics(rels, pr_atks=(5, 10, 20),
+                                 threshold_grade=threshold_grade)
+            for qid, rels in ranked_relevances.items()}
+
+
+def aggregate_crossval(query_metrics: dict, facet: str, split: str) -> dict:
+    """CSFCube protocol: dev uses fold1 only; test averages the two folds."""
+    folds = load_csfcube_folds()[facet]
+    fold_names = [f"fold1_{split}"] if split == "dev" else \
+        [f"fold1_{split}", f"fold2_{split}"]
+    per_fold: dict[str, list[float]] = {m: [] for m in AGG_METRICS}
+    for fold in fold_names:
+        qids = folds[fold]
+        for m in AGG_METRICS:
+            per_fold[m].append(mean(query_metrics[q][m] for q in qids))
+    return {_RENAME.get(m, m): mean(v) for m, v in per_fold.items()}
+
+
+def aggregate_split(query_metrics: dict, split_qids: list | None = None) -> dict:
+    """Plain mean over (a split of) queries (evaluate.py aggregation)."""
+    qids = list(query_metrics) if split_qids is None else \
+        [q for q in split_qids if q in query_metrics]
+    return {_RENAME.get(m, m): mean(query_metrics[q][m] for q in qids)
+            for m in AGG_METRICS}
+
+
+def significance_test(per_query_a: dict, per_query_b: dict,
+                      metric: str = "av_precision", n_comparisons: int = 1):
+    """Welch's t-test between two methods' per-query metric values with a
+    Bonferroni-adjusted significance level (ranking_eval.py:611-713).
+
+    Returns (t_stat, p_value, significant_at_005).
+    """
+    from scipy import stats
+    qids = sorted(set(per_query_a) & set(per_query_b))
+    a = np.array([per_query_a[q][metric] for q in qids])
+    b = np.array([per_query_b[q][metric] for q in qids])
+    t, p = stats.ttest_ind(a, b, equal_var=False)
+    return float(t), float(p), bool(p < 0.05 / max(1, n_comparisons))
+
+
+def rank_candidates(scores: dict) -> dict:
+    """{qid: {cand: similarity}} -> {qid: [(cand, score) desc-sorted]}."""
+    return {qid: sorted(cands.items(), key=lambda kv: kv[1], reverse=True)
+            for qid, cands in scores.items()}
+
+
+def ranked_relevances(ranked: dict, gold: dict) -> dict:
+    """{qid: [(cand, score)]} + gold {qid: {cand: rel}} -> ranked judgements."""
+    return {qid: [gold[qid][cand] for cand, _ in cands]
+            for qid, cands in ranked.items()}
