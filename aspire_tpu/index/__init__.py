@@ -1,0 +1,2 @@
+from .build import MultiVecIndex, build_index_from_reps, encode_corpus
+from .serve import l2max_search, sharded_l2max_search, ot_rerank

@@ -1,0 +1,149 @@
+"""Query-time ranking over the sharded multi-vector index.
+
+Replaces the reference's host-side ranking engines (sklearn NearestNeighbors
+and big numpy matmuls, pp_gen_nearest.py:638-985) with device-resident
+scoring:
+
+  l2max first stage: one [q_sents, dim] x [dim, shard_len] MXU matmul per
+  shard -> per-sentence best-query similarity -> segment-max over doc labels
+  -> per-doc scores -> top-k.  Multi-chip: shard_map over the `shard` mesh
+  axis with an ICI max-reduce merging per-shard doc scores, then a replicated
+  top-k.  (Distances compare via squared L2 -- monotonic with the reference's
+  -cdist ranking; exposed scores take the sqrt to match reference values.)
+
+  OT second stage: gather the top candidates' sentence reps and run the
+  batched Sinkhorn scorer (ops.distances.wasserstein_dist) -- the reference's
+  caching_scoringmodel rerank path (pp_gen_nearest.py:207-363).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..core.types import MultiVec
+from ..ops.distances import wasserstein_dist, l2max_dist
+
+NEG = -1e30
+
+
+def _per_doc_scores(q_sents: jax.Array, q_len: jax.Array, sents: jax.Array,
+                    doc_ids: jax.Array, n_docs: int) -> jax.Array:
+    """Per-doc l2max similarity scores for one flat sentence shard.
+
+    q_sents: f32[sq, d]; sents: [L, d] (any float dtype); doc_ids: i32[L];
+    -> f32[n_docs] (NEG where a doc has no sentences in this shard).
+    """
+    q = q_sents.astype(jnp.float32)
+    x = sents.astype(jnp.float32)
+    qq = jnp.sum(q * q, axis=1)[:, None]
+    xx = jnp.sum(x * x, axis=1)[None, :]
+    qx = jnp.einsum("sd,ld->sl", q, x, preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(qq + xx - 2.0 * qx, 0.0)                     # [sq, L]
+    neg = -jnp.sqrt(d2)
+    # mask invalid query sentences
+    qmask = jnp.arange(q.shape[0], dtype=jnp.int32) < q_len
+    neg = jnp.where(qmask[:, None], neg, NEG)
+    per_sent = jnp.max(neg, axis=0)                               # [L]
+    per_sent = jnp.where(doc_ids >= 0, per_sent, NEG)
+    return jax.ops.segment_max(per_sent, jnp.maximum(doc_ids, 0),
+                               num_segments=n_docs)
+
+
+@partial(jax.jit, static_argnames=("n_docs", "k"))
+def l2max_search(q_sents, q_len, sents, doc_ids, n_docs: int, k: int):
+    """Single-device search. sents: [n_shards, L, d] or [L, d]."""
+    if sents.ndim == 3:
+        sents = sents.reshape(-1, sents.shape[-1])
+        doc_ids = doc_ids.reshape(-1)
+    scores = _per_doc_scores(q_sents, q_len, sents, doc_ids, n_docs)
+    return jax.lax.top_k(scores, k)
+
+
+def make_sharded_search(mesh: Mesh, n_docs: int, k: int):
+    """Build the jitted multi-chip search: per-shard scoring + ICI max merge.
+
+    Index arrays must be sharded over `shard` on axis 0 ([n_shards, L, ...]).
+    The returned fn takes (q_sents, q_len, sents, doc_ids) with the query
+    replicated, and returns replicated (top-k scores, top-k doc indices).
+    """
+
+    def _local(q_sents, q_len, sents, doc_ids):
+        # block-local views: sents [1, L, d]; doc_ids [1, L]
+        scores = _per_doc_scores(q_sents, q_len, sents[0], doc_ids[0], n_docs)
+        scores = jax.lax.pmax(scores, "shard")
+        values, idx = jax.lax.top_k(scores, k)
+        return values, idx
+
+    fn = shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P(), P("shard"), P("shard")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def gather_doc_reps(index, doc_idx: np.ndarray, max_sents: int) -> MultiVec:
+    """Host-side gather of candidate sentence reps for the rerank stage.
+
+    index: MultiVecIndex; doc_idx: [k] global doc indices.
+    Returns a padded MultiVec [k, max_sents, dim] (f32).
+    """
+    flat_sents = index.sents.reshape(-1, index.dim)
+    flat_ids = index.doc_ids.reshape(-1)
+    order = np.argsort(flat_ids, kind="stable")
+    sorted_ids = flat_ids[order]
+    starts = np.searchsorted(sorted_ids, doc_idx, side="left")
+    k = len(doc_idx)
+    out = np.zeros((k, max_sents, index.dim), np.float32)
+    lens = np.zeros((k,), np.int32)
+    for i, di in enumerate(doc_idx):
+        ln = min(int(index.doc_lens[di]), max_sents)
+        rows = order[starts[i]: starts[i] + ln]
+        out[i, :ln] = flat_sents[rows]
+        lens[i] = ln
+    return MultiVec(embed=jnp.asarray(out), lens=jnp.asarray(lens))
+
+
+@partial(jax.jit, static_argnames=("blur", "scaling", "temp"))
+def ot_rerank(q: MultiVec, cands: MultiVec, blur: float = 0.05,
+              scaling: float = 0.9, temp: float = 1.0):
+    """Batched Sinkhorn rerank of k candidates against one query.
+
+    q: MultiVec with batch 1; cands: MultiVec with batch k.
+    Returns f32[k] OT similarity scores (plan-weighted similarity sums).
+    """
+    k = cands.embed.shape[0]
+    q_tiled = MultiVec(
+        embed=jnp.broadcast_to(q.embed, (k,) + q.embed.shape[1:]),
+        lens=jnp.broadcast_to(q.lens, (k,)),
+    )
+    sims, _ = wasserstein_dist(q_tiled, cands, blur=blur, scaling=scaling,
+                               temp=temp, return_pair_sims=True)
+    return sims
+
+
+@partial(jax.jit, static_argnames=())
+def l2max_rerank(q: MultiVec, cands: MultiVec):
+    """Batched single-match rerank (exact reference scores incl. sqrt)."""
+    k = cands.embed.shape[0]
+    q_tiled = MultiVec(
+        embed=jnp.broadcast_to(q.embed, (k,) + q.embed.shape[1:]),
+        lens=jnp.broadcast_to(q.lens, (k,)),
+    )
+    sims, _ = l2max_dist(q_tiled, cands, return_pair_sims=True)
+    return sims
+
+
+def sharded_l2max_search(index, mesh: Mesh, q_sents: np.ndarray,
+                         q_len: int, k: int = 50):
+    """Convenience one-shot sharded search from a host-side index."""
+    sents, doc_ids = index.device_arrays(mesh)
+    fn = make_sharded_search(mesh, index.n_docs, k)
+    return fn(jnp.asarray(q_sents, jnp.float32), jnp.int32(q_len), sents, doc_ids)
