@@ -1,0 +1,260 @@
+"""Unified command-line interface.
+
+One console entry with subcommands replacing the reference's bin/ shell
+forest + per-script argparse (main_fsim.py, evaluate.py, pre_proc_buildreps,
+pp_gen_nearest):
+
+  python -m aspire_tpu train        --config cfg.json --train t.jsonl --dev d.jsonl --out run/
+  python -m aspire_tpu build-index  --run-dir run/ --corpus abstracts.jsonl --out idx/
+  python -m aspire_tpu rank         --index idx/ --run-dir run/ --dataset-dir d/ --dataset name --out res/
+  python -m aspire_tpu evaluate     --dataset-dir d/ --dataset name --model aspire_compsci --results res/
+  python -m aspire_tpu preprocess   <cocits|relish|treccovid|scidocs> ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+
+def _setup_logging(args):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+        filename=getattr(args, "log_fname", None) or None,
+    )
+
+
+def cmd_train(args):
+    import jax
+    from transformers import AutoTokenizer
+
+    from .core.config import RunConfig
+    from .models.bert import BertConfig
+    from .models.doc_models import build_model
+    from .train.trainer import Trainer
+    from .data.readers import TripleStream, dev_batches
+    from .parallel.mesh import make_mesh
+
+    import dataclasses
+
+    cfg = RunConfig.from_json(args.config)
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer or cfg.model.base_pt_layer)
+    bert_config = BertConfig()  # full-size; tiny override for smoke tests
+    if args.tiny:
+        bert_config = BertConfig.tiny(vocab_size=tokenizer.vocab_size)
+    # persist the encoder architecture so eval-time loading reconstructs it
+    cfg.extra["bert_config"] = dataclasses.asdict(bert_config)
+    model = build_model(cfg.model, bert_config)
+    mesh = make_mesh(n_data=args.num_devices)
+    trainer = Trainer(model, cfg, args.out, mesh=mesh)
+    rng = jax.random.key(args.seed)
+    state = trainer.init_state(rng)
+    if args.init_hf_dir:
+        import transformers
+        from .models.convert import params_from_hf_model, config_from_hf
+        hf = transformers.AutoModel.from_pretrained(args.init_hf_dir)
+        bert_params = params_from_hf_model(hf, config_from_hf(hf.config))
+        params = dict(state.params)
+        params["bert"] = bert_params
+        state = state.replace(params=params,
+                              opt_state=trainer.optimizer.init(params))
+    micro = cfg.train.batch_size
+    n_micro = max(1, (cfg.train.accumulated_batch_size or micro) // micro)
+    align = None
+    if cfg.model.model_name == "sbalisentbienc":
+        align = cfg.extra.get("align_type", "cc_align")
+    stream = TripleStream(args.train, tokenizer, cfg.model, micro_batch=micro,
+                          n_micro=n_micro, seq_len=args.seq_len, align_type=align,
+                          max_examples=cfg.train.train_size or None)
+    devfn = None
+    if args.dev:
+        devfn = lambda: dev_batches(args.dev, tokenizer, cfg.model, batch_size=micro,
+                                    seq_len=args.seq_len, align_type=align,
+                                    max_examples=cfg.train.dev_size or None)
+    for epoch in range(cfg.train.num_epochs):
+        state = trainer.train(state, iter(stream), devfn)
+    print(f"trained {int(state.step)} steps -> {args.out}")
+
+
+def _load_eval_model(args):
+    from .evaluation.models import get_model
+    tokenizer = None
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+    return get_model(args.model, trained_model_path=args.run_dir,
+                     weights_dir=args.weights_dir, tokenizer=tokenizer)
+
+
+def cmd_evaluate(args):
+    from .evaluation.datasets import EvalDataset
+    from .evaluation.evaluate import run_evaluation
+
+    dataset = EvalDataset(args.dataset, args.dataset_dir)
+    model = _load_eval_model(args)
+    facets = None
+    if args.facet:
+        facets = [None] if args.facet == "unfaceted" else [args.facet]
+    out = run_evaluation(model, dataset, args.results,
+                         actions=tuple(args.actions.split(",")),
+                         facets=facets, cache_path=args.cache)
+    print(json.dumps({k: v for k, v in out.items()}, indent=1, default=str))
+
+
+def cmd_build_index(args):
+    import numpy as np
+    from transformers import AutoTokenizer
+
+    from .data.readers import read_jsonl
+    from .evaluation.models import AspireSimilarityModel
+    from .index.build import build_index_from_reps
+
+    model = AspireSimilarityModel.from_trained(
+        "index-encoder", args.run_dir,
+        AutoTokenizer.from_pretrained(args.tokenizer)) if args.run_dir else \
+        AspireSimilarityModel.from_hf_dir("index-encoder", args.weights_dir)
+    corpus, pids = [], []
+    for rec in read_jsonl(args.corpus):
+        pids.append(rec["paper_id"])
+        corpus.append({"TITLE": rec["title"], "ABSTRACT": rec["abstract"]})
+    reps = []
+    for i in range(0, len(corpus), args.batch_size):
+        reps.extend(model.encode(corpus[i:i + args.batch_size]))
+    idx = build_index_from_reps(reps, pids, n_shards=args.n_shards,
+                                dtype=np.float32 if not args.bf16 else
+                                __import__("ml_dtypes").bfloat16)
+    idx.save(args.out)
+    print(f"indexed {idx.n_docs} docs / {idx.n_shards} shards -> {args.out}")
+
+
+def cmd_rank(args):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .core.types import MultiVec
+    from .index.build import MultiVecIndex
+    from .index.serve import l2max_search, gather_doc_reps, ot_rerank
+    from .evaluation.datasets import EvalDataset
+
+    idx = MultiVecIndex.load(args.index)
+    dataset = EvalDataset(args.dataset, args.dataset_dir)
+    model = _load_eval_model(args)
+    sents = jnp.asarray(idx.sents)
+    doc_ids = jnp.asarray(idx.doc_ids)
+    pool = dataset.get_test_pool(facet=args.facet)
+    ranked = {}
+    for qpid in pool:
+        q_enc = model.encode([dataset.get(qpid)])[0]
+        scores, docs = l2max_search(jnp.asarray(q_enc), jnp.int32(len(q_enc)),
+                                    sents, doc_ids, idx.n_docs, args.k)
+        docs_np = np.asarray(docs)
+        if args.rerank == "ot":
+            cands = gather_doc_reps(idx, docs_np, max_sents=args.max_sents)
+            q = MultiVec(embed=jnp.asarray(q_enc)[None], lens=jnp.asarray([len(q_enc)]))
+            # pad query to cands smax
+            sims = np.asarray(ot_rerank(
+                MultiVec(embed=jnp.zeros((1, cands.embed.shape[1], q_enc.shape[-1])
+                                         ).at[0, :len(q_enc)].set(q_enc),
+                         lens=jnp.asarray([len(q_enc)])), cands, temp=args.ot_temp))
+            order = np.argsort(-sims)
+            ranked[qpid] = [[idx.pids[docs_np[i]], float(sims[i])] for i in order]
+        else:
+            ranked[qpid] = [[idx.pids[d], float(s)]
+                            for d, s in zip(docs_np, np.asarray(scores))]
+    os.makedirs(args.out, exist_ok=True)
+    fname = os.path.join(
+        args.out, f"test-pid2pool-{args.dataset}-{args.model}"
+        + (f"-{args.facet}" if args.facet else "") + "-ranked.json")
+    with open(fname, "w") as f:
+        json.dump(ranked, f)
+    print(f"ranked {len(ranked)} queries -> {fname}")
+
+
+def cmd_preprocess(args):
+    from .data import preprocess as pp
+    pp.main(args)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="aspire_tpu")
+    sub = p.add_subparsers(dest="subcommand", required=True)
+
+    t = sub.add_parser("train", help="train a doc-similarity model")
+    t.add_argument("--config", required=True)
+    t.add_argument("--train", required=True)
+    t.add_argument("--dev")
+    t.add_argument("--out", required=True)
+    t.add_argument("--tokenizer")
+    t.add_argument("--init-hf-dir", help="local HF dir for encoder init")
+    t.add_argument("--seq-len", type=int, default=512)
+    t.add_argument("--num-devices", type=int, default=None)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--tiny", action="store_true", help="tiny BERT (smoke test)")
+    t.add_argument("--log_fname")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("evaluate", help="encode/score/evaluate a dataset")
+    e.add_argument("--dataset", required=True)
+    e.add_argument("--dataset-dir", required=True)
+    e.add_argument("--model", required=True)
+    e.add_argument("--results", required=True)
+    e.add_argument("--actions", default="encode,score,evaluate")
+    e.add_argument("--facet", help="background|method|result|unfaceted")
+    e.add_argument("--cache")
+    e.add_argument("--run-dir")
+    e.add_argument("--weights-dir")
+    e.add_argument("--tokenizer")
+    e.add_argument("--log_fname")
+    e.set_defaults(fn=cmd_evaluate)
+
+    b = sub.add_parser("build-index", help="encode a corpus into a sharded index")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--run-dir")
+    b.add_argument("--weights-dir")
+    b.add_argument("--tokenizer")
+    b.add_argument("--n-shards", type=int, default=1)
+    b.add_argument("--batch-size", type=int, default=32)
+    b.add_argument("--bf16", action="store_true")
+    b.add_argument("--log_fname")
+    b.set_defaults(fn=cmd_build_index)
+
+    r = sub.add_parser("rank", help="rank query pools against an index")
+    r.add_argument("--index", required=True)
+    r.add_argument("--dataset", required=True)
+    r.add_argument("--dataset-dir", required=True)
+    r.add_argument("--model", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--facet")
+    r.add_argument("--k", type=int, default=100)
+    r.add_argument("--rerank", choices=["none", "ot"], default="none")
+    r.add_argument("--ot-temp", type=float, default=5000.0)
+    r.add_argument("--max-sents", type=int, default=24)
+    r.add_argument("--run-dir")
+    r.add_argument("--weights-dir")
+    r.add_argument("--tokenizer")
+    r.add_argument("--log_fname")
+    r.set_defaults(fn=cmd_rank)
+
+    pp = sub.add_parser("preprocess", help="dataset preparation pipelines")
+    pp.add_argument("action", choices=["cocit-examples", "relish", "treccovid",
+                                       "scidocs", "filter-cocits"])
+    pp.add_argument("--in-path", required=True)
+    pp.add_argument("--out-path", required=True)
+    pp.add_argument("--extra", help="json dict of pipeline-specific options")
+    pp.add_argument("--log_fname")
+    pp.set_defaults(fn=cmd_preprocess)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    _setup_logging(args)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

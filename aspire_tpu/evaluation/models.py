@@ -1,0 +1,385 @@
+"""Evaluation model zoo + plugin API (SimilarityModel).
+
+TPU re-design of src/evaluation/utils/models.py:23-768.  The public surface
+is preserved -- `encode`, `get_similarity`, h5py encodings cache,
+`get_faceted_encoding`, `get_model` factory -- with one addition that is the
+whole point on TPU: `get_similarities` scores a query against a FULL LIST of
+candidates in one jitted batched call (the reference loops 1x1 Sinkhorn
+solves per candidate, evaluate.py:35-82 -- its hottest loop).
+
+Weight sources (zero-egress friendly):
+  * local HF checkpoint dirs (config.json + pytorch weights) via
+    models/convert.py;
+  * this framework's own orbax training runs (run_info.json contract).
+"""
+from __future__ import annotations
+
+import logging
+import os
+from abc import ABCMeta, abstractmethod
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import RunConfig
+from ..core.types import MultiVec
+from ..models.bert import BertConfig, BertModel
+from ..models.encoders import ConSentEncoder, BiEncoder
+from ..ops.distances import wasserstein_dist, l2max_dist
+from ..text.tokenize import prepare_abstracts
+
+log = logging.getLogger(__name__)
+
+
+def batchify(dataset: dict, batch_size: int):
+    """Yield (pids, papers) chunks (reference utils.batchify)."""
+    pids, batch = [], []
+    for pid, data in dataset.items():
+        pids.append(pid)
+        batch.append(data)
+        if len(batch) == batch_size:
+            yield pids, batch
+            pids, batch = [], []
+    if batch:
+        yield pids, batch
+
+
+class SimilarityModel(metaclass=ABCMeta):
+    """Abstract paper-similarity model (plugin API).
+
+    encoding_type: 'abstract' (one vector/doc), 'sentence' (one per sentence),
+    'sentence-entity' (sentences + entity vectors appended).
+    """
+
+    ENCODING_TYPES = ("abstract", "sentence", "sentence-entity")
+
+    def __init__(self, name: str, encoding_type: str, batch_size: int = 8):
+        assert encoding_type in SimilarityModel.ENCODING_TYPES
+        self.name = name
+        self.encoding_type = encoding_type
+        self.batch_size = batch_size
+        self.cache = None
+
+    @abstractmethod
+    def encode(self, batch_papers: list[dict]):
+        """-> list of per-paper encodings (np arrays)."""
+        raise NotImplementedError
+
+    @abstractmethod
+    def get_similarity(self, x, y) -> float:
+        """Similarity between two encodings (higher = more similar)."""
+        raise NotImplementedError
+
+    def get_similarities(self, query_enc, cand_encs: list) -> np.ndarray:
+        """Batched scoring; default falls back to the per-pair API."""
+        return np.asarray([self.get_similarity(query_enc, c) for c in cand_encs])
+
+    # ---- encodings cache (h5py contract, utils/models.py:68-122) ----
+    def set_encodings_cache(self, cache_filename: str):
+        import h5py
+        try:
+            self.cache = h5py.File(cache_filename, "a")
+        except Exception:
+            log.info("could not open encodings cache %s; overwriting", cache_filename)
+            self.cache = h5py.File(cache_filename, "w")
+
+    def cache_encodings(self, batch_pids, batch_papers):
+        assert self.cache is not None, "cache is not set"
+        encodings = self.encode(batch_papers)
+        for i, pid in enumerate(batch_pids):
+            self.cache.create_dataset(name=pid, data=np.asarray(encodings[i]))
+        return encodings
+
+    def get_encoding(self, pids: list, dataset) -> dict:
+        uncached = [p for p in pids if self.cache is None or p not in self.cache]
+        out = {}
+        if self.cache is not None:
+            for pid in set(pids).difference(uncached):
+                out[pid] = np.array(self.cache.get(pid))
+        for bpids, bpapers in batchify({p: dataset.get(p) for p in uncached},
+                                       self.batch_size):
+            encs = (self.cache_encodings(bpids, bpapers) if self.cache is not None
+                    else self.encode(bpapers))
+            out.update({pid: np.asarray(encs[i]) for i, pid in enumerate(bpids)})
+        return out
+
+    # ---- facet filtering (utils/models.py:127-163) ----
+    def get_faceted_encoding(self, unfaceted_encoding, facet: str, input_data: dict):
+        if self.encoding_type == "abstract":
+            return unfaceted_encoding
+        labels = ["background" if lab == "objective_label" else lab[: -len("_label")]
+                  for lab in input_data["FACETS"]]
+        facet_ids = [i for i, lab in enumerate(labels) if lab == facet]
+        if self.encoding_type == "sentence":
+            filtered = facet_ids
+        else:
+            ner_cur = len(labels)
+            ner_ids = []
+            for i, sent_ners in enumerate(input_data["ENTITIES"]):
+                if i in facet_ids:
+                    ner_ids += list(range(ner_cur, ner_cur + len(sent_ners)))
+                ner_cur += len(sent_ners)
+            filtered = facet_ids + ner_ids
+        return unfaceted_encoding[filtered]
+
+    def __del__(self):
+        if getattr(self, "cache", None) is not None:
+            try:
+                self.cache.close()
+            except Exception:
+                pass
+
+
+# ----------------------------------------------------------------------
+class AspireSimilarityModel(SimilarityModel):
+    """Multi-vector contextual-sentence model (ts/otAspire checkpoints).
+
+    agg: 'ot' (otAspire Sinkhorn), 'l2max' (tsAspire single match), or
+    'cosine_max' (sentence-transformer style).
+    """
+
+    def __init__(self, name: str, bert_config: BertConfig, params, tokenizer,
+                 agg: str = "ot", encoding_type: str = "sentence",
+                 max_sents: int = 24, batch_size: int = 8,
+                 ot_temp: float = 1.0, blur: float = 0.05, scaling: float = 0.9):
+        super().__init__(name=name, encoding_type=encoding_type, batch_size=batch_size)
+        self.bert_config = bert_config
+        self.encoder = ConSentEncoder(bert_config, max_sents=max_sents)
+        self.params = params
+        self.tokenizer = tokenizer
+        self.max_sents = max_sents
+        self.agg = agg
+        self.ot_temp = ot_temp
+        self.blur = blur
+        self.scaling = scaling
+
+        @jax.jit
+        def _encode(token_ids, attn_mask, sent_ids):
+            return self.encoder.apply({"params": self.params}, token_ids,
+                                      attn_mask, sent_ids)
+
+        self._encode_jit = _encode
+
+        def _pair_scores(q: MultiVec, c: MultiVec):
+            if agg == "ot":
+                sims, _ = wasserstein_dist(q, c, blur=blur, scaling=scaling,
+                                           temp=ot_temp, return_pair_sims=True)
+            elif agg == "l2max":
+                sims, _ = l2max_dist(q, c, return_pair_sims=True)
+            elif agg == "cosine_max":
+                qn = q.embed / jnp.linalg.norm(q.embed, axis=-1, keepdims=True).clip(1e-9)
+                cn = c.embed / jnp.linalg.norm(c.embed, axis=-1, keepdims=True).clip(1e-9)
+                sims_mat = jnp.einsum("bqd,bcd->bqc", qn, cn)
+                mask = q.sent_mask()[:, :, None] * c.sent_mask()[:, None, :]
+                sims = jnp.max(jnp.where(mask > 0, sims_mat, -jnp.inf), axis=(1, 2))
+            else:
+                raise ValueError(f"unknown agg {agg}")
+            return sims
+
+        self._pair_scores_jit = jax.jit(_pair_scores)
+
+    # -- constructors --
+    @classmethod
+    def from_hf_dir(cls, name: str, model_dir: str, **kw):
+        """Load a local HF aspire checkpoint directory (torch weights)."""
+        import transformers
+        from ..models.convert import params_from_hf_model, config_from_hf
+        hf = transformers.AutoModel.from_pretrained(model_dir)
+        tokenizer = transformers.AutoTokenizer.from_pretrained(model_dir)
+        cfg = config_from_hf(hf.config)
+        params = {"bert": params_from_hf_model(hf, cfg)}
+        return cls(name=name, bert_config=cfg, params=params, tokenizer=tokenizer, **kw)
+
+    @classmethod
+    def from_trained(cls, name: str, run_dir: str, tokenizer,
+                     model_version: str = "cur_best", **kw):
+        """Load one of this framework's own training runs (orbax + run_info)."""
+        import orbax.checkpoint as ocp
+        rc = RunConfig.from_run_info(os.path.join(run_dir, "run_info.json"))
+        params = ocp.StandardCheckpointer().restore(
+            os.path.abspath(os.path.join(run_dir, f"model_{model_version}")))
+        agg = "ot" if rc.model.score_aggregation == "l2wasserstein" else "l2max"
+        kw.setdefault("agg", agg)
+        kw.setdefault("ot_temp", rc.model.sent_sm_temp)
+        kw.setdefault("blur", rc.model.geoml_blur)
+        kw.setdefault("scaling", rc.model.geoml_scaling)
+        kw.setdefault("max_sents", rc.model.max_sents)
+        bc = (BertConfig(**rc.extra["bert_config"])
+              if "bert_config" in rc.extra else BertConfig())
+        return cls(name=name, bert_config=bc, params=params,
+                   tokenizer=tokenizer, **kw)
+
+    # -- API --
+    def _prep(self, batch_papers):
+        return prepare_abstracts(batch_papers, self.tokenizer,
+                                 max_sents=self.max_sents)
+
+    def encode(self, batch_papers: list[dict]):
+        fb = self._prep(batch_papers)
+        _, sents = self._encode_jit(jnp.asarray(fb.token_ids),
+                                    jnp.asarray(fb.attn_mask),
+                                    jnp.asarray(fb.sent_ids))
+        sents = np.asarray(sents)
+        return [sents[i, : fb.abs_lens[i]] for i in range(fb.batch)]
+
+    def _pack(self, encs: list[np.ndarray], smax: int) -> MultiVec:
+        k = len(encs)
+        d = encs[0].shape[-1]
+        out = np.zeros((k, smax, d), np.float32)
+        lens = np.zeros((k,), np.int32)
+        for i, e in enumerate(encs):
+            n = min(len(e), smax)
+            out[i, :n] = e[:n]
+            lens[i] = n
+        return MultiVec(embed=jnp.asarray(out), lens=jnp.asarray(lens))
+
+    def get_similarities(self, query_enc, cand_encs: list) -> np.ndarray:
+        smax = max(len(query_enc), max(len(c) for c in cand_encs))
+        smax = max(smax, 2)
+        q = self._pack([query_enc] * len(cand_encs), smax)
+        c = self._pack(list(cand_encs), smax)
+        return np.asarray(self._pair_scores_jit(q, c))
+
+    def get_similarity(self, x, y) -> float:
+        return float(self.get_similarities(np.asarray(x), [np.asarray(y)])[0])
+
+
+class AspireNERSimilarityModel(AspireSimilarityModel):
+    """Entities appended as extra sentences (AspireNER, utils/models.py:211-233)."""
+
+    def encode(self, batch_papers: list[dict]):
+        assert "ENTITIES" in batch_papers[0], (
+            "No NER data for input; place entities at {dataset}-ner.jsonl")
+        with_ner = []
+        for sample in batch_papers:
+            ners = [e for sent in sample["ENTITIES"] for e in sent]
+            with_ner.append({"TITLE": sample["TITLE"],
+                             "ABSTRACT": list(sample["ABSTRACT"]) + ners})
+        return super().encode(with_ner)
+
+
+class ClsSimilarityModel(SimilarityModel):
+    """Whole-abstract CLS encoders (specter/cospecter style); -L2 similarity.
+
+    layer_mix: None -> plain final-layer CLS (BertMLM, utils/models.py:237-321);
+    a [13] weight vector -> softmax scalar mix (cospecter bi-encoder).
+    """
+
+    def __init__(self, name: str, bert_config: BertConfig, params, tokenizer,
+                 layer_mix: np.ndarray | None = None,
+                 encoding_type: str = "abstract", batch_size: int = 8,
+                 max_toks: int = 500):
+        super().__init__(name=name, encoding_type=encoding_type, batch_size=batch_size)
+        self.tokenizer = tokenizer
+        self.max_toks = max_toks
+        if layer_mix is not None:
+            enc = BiEncoder(bert_config)
+            full = {"bert": params, "layer_weights": jnp.asarray(layer_mix)}
+        else:
+            enc = BertModel(bert_config)
+            full = params
+
+        @jax.jit
+        def _encode(token_ids, attn_mask):
+            if layer_mix is not None:
+                return enc.apply({"params": full}, token_ids, attn_mask)
+            last, _ = enc.apply({"params": full}, token_ids, attn_mask)
+            return last[:, 0, :]
+
+        self._encode_jit = _encode
+
+    @classmethod
+    def from_hf_dir(cls, name: str, model_dir: str, **kw):
+        import transformers
+        from ..models.convert import params_from_hf_model, config_from_hf
+        hf = transformers.AutoModel.from_pretrained(model_dir)
+        tokenizer = transformers.AutoTokenizer.from_pretrained(model_dir)
+        cfg = config_from_hf(hf.config)
+        return cls(name=name, bert_config=cfg,
+                   params=params_from_hf_model(hf, cfg), tokenizer=tokenizer, **kw)
+
+    def _texts(self, batch_papers):
+        return [p["TITLE"] + " [SEP] " + " ".join(p["ABSTRACT"])
+                for p in batch_papers]
+
+    def encode(self, batch_papers: list[dict]):
+        texts = self._texts(batch_papers)
+        rows = []
+        max_len = 0
+        for t in texts:
+            toks = self.tokenizer.tokenize(t)[: self.max_toks]
+            ids = self.tokenizer.build_inputs_with_special_tokens(
+                self.tokenizer.convert_tokens_to_ids(toks))
+            rows.append(ids)
+            max_len = max(max_len, len(ids))
+        max_len = -(-max_len // 64) * 64
+        token_ids = np.full((len(rows), max_len), self.tokenizer.pad_token_id, np.int32)
+        attn = np.zeros((len(rows), max_len), np.int32)
+        for i, ids in enumerate(rows):
+            token_ids[i, : len(ids)] = ids
+            attn[i, : len(ids)] = 1
+        cls = self._encode_jit(jnp.asarray(token_ids), jnp.asarray(attn))
+        return list(np.asarray(cls))
+
+    def get_similarity(self, x, y) -> float:
+        return -float(np.linalg.norm(np.asarray(x) - np.asarray(y)))
+
+    def get_similarities(self, query_enc, cand_encs: list) -> np.ndarray:
+        c = np.stack([np.asarray(e) for e in cand_encs])
+        return -np.linalg.norm(c - np.asarray(query_enc)[None], axis=1)
+
+
+class ClsNERSimilarityModel(ClsSimilarityModel):
+    """CLS encoder with entities appended to the abstract text (BertNER)."""
+
+    def _texts(self, batch_papers):
+        out = []
+        for p in batch_papers:
+            base = p["TITLE"] + " [SEP] " + " ".join(p["ABSTRACT"])
+            ents = ". ".join(e for sent in p["ENTITIES"] for e in sent)
+            out.append(base + " " + ents + ".")
+        return out
+
+
+# ----------------------------------------------------------------------
+def get_model(model_name: str, trained_model_path: str | None = None,
+              weights_dir: str | None = None, tokenizer=None) -> SimilarityModel:
+    """Factory keyed by the reference model names (utils/models.py:738-768).
+
+    HF-hub-named models need `weights_dir` pointing at a local checkpoint
+    directory (zero-egress environment); trained models need
+    `trained_model_path` (this framework's run dir) and a tokenizer.
+    """
+    ot_models = {"aspire_compsci", "aspire_biomed"}
+    ner_models = {"aspire_ner_compsci", "aspire_ner_biomed"}
+    if model_name in ot_models:
+        assert weights_dir, f"{model_name} needs a local weights_dir"
+        return AspireSimilarityModel.from_hf_dir(model_name, weights_dir, agg="ot")
+    if model_name in ner_models:
+        assert weights_dir, f"{model_name} needs a local weights_dir"
+        m = AspireNERSimilarityModel.from_hf_dir(model_name, weights_dir, agg="ot")
+        m.encoding_type = "sentence-entity"
+        return m
+    if model_name in {"specter", "supsimcse", "unsupsimcse"}:
+        assert weights_dir, f"{model_name} needs a local weights_dir"
+        return ClsSimilarityModel.from_hf_dir(model_name, weights_dir)
+    if model_name == "specter_ner":
+        assert weights_dir, f"{model_name} needs a local weights_dir"
+        m = ClsNERSimilarityModel.from_hf_dir(model_name, weights_dir)
+        return m
+    if model_name == "cospecter":
+        assert trained_model_path and tokenizer is not None
+        import orbax.checkpoint as ocp
+        rc = RunConfig.from_run_info(os.path.join(trained_model_path, "run_info.json"))
+        params = ocp.StandardCheckpointer().restore(
+            os.path.abspath(os.path.join(trained_model_path, "model_cur_best")))
+        return ClsSimilarityModel(name=model_name, bert_config=BertConfig(),
+                                  params=params["bert"], tokenizer=tokenizer,
+                                  layer_mix=np.asarray(params["layer_weights"]))
+    if model_name in {"tsaspire", "otaspire", "sbalisentbienc", "miswordbienc"}:
+        assert trained_model_path and tokenizer is not None
+        return AspireSimilarityModel.from_trained(model_name, trained_model_path,
+                                                  tokenizer)
+    raise ValueError(f"Unknown model: {model_name}")

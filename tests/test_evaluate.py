@@ -1,0 +1,127 @@
+"""End-to-end evaluation pipeline test on a synthetic faceted dataset.
+
+Correctness signal: relevant candidates are textual near-copies of the query,
+so ANY encoder (even random-weighted) must rank them at the top -> MAP ~ 1.
+"""
+import json
+import numpy as np
+import pytest
+from transformers import BertTokenizer
+
+from aspire_tpu.models.bert import BertConfig
+from aspire_tpu.evaluation.datasets import EvalDataset
+from aspire_tpu.evaluation.models import AspireSimilarityModel, ClsSimilarityModel
+from aspire_tpu.evaluation.evaluate import run_evaluation
+import jax
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+         "iota", "kappa"]
+
+
+@pytest.fixture(scope="module")
+def tok(tmp_path_factory):
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "title"] + WORDS
+    p = tmp_path_factory.mktemp("vocab") / "vocab.txt"
+    p.write_text("\n".join(vocab) + "\n")
+    return BertTokenizer(str(p), do_lower_case=True)
+
+
+def make_dataset(root, rng, n_queries=4, n_cands=12, name="toy"):
+    """Queries q0..; for each, cands: 3 near-copies (relevant, grade 2-3) and
+    the rest random (grade 0)."""
+    papers = {}
+    anns = {}
+    for qi in range(n_queries):
+        qsents = [" ".join(rng.choice(WORDS, 4)) for _ in range(3)]
+        qpid = f"q{qi}"
+        papers[qpid] = {"title": "title " + str(qi), "abstract": qsents}
+        cands, rels = [], []
+        for ci in range(n_cands):
+            cpid = f"q{qi}c{ci}"
+            if ci < 3:  # near-copy: same sentences, one word appended
+                papers[cpid] = {"title": "title " + str(qi),
+                                "abstract": qsents}
+                rels.append(2 + (ci % 2))
+            else:
+                papers[cpid] = {"title": "title x",
+                                "abstract": [" ".join(rng.choice(WORDS, 4))
+                                             for _ in range(2)]}
+                rels.append(0)
+            cands.append(cpid)
+        anns[qpid] = {"cands": cands, "relevance_adju": rels}
+    with open(root / f"abstracts-{name}.jsonl", "w") as f:
+        for pid, p in papers.items():
+            f.write(json.dumps({"paper_id": pid, **p}) + "\n")
+    with open(root / f"test-pid2anns-{name}.json", "w") as f:
+        json.dump(anns, f)
+    with open(root / f"{name}-evaluation_splits.json", "w") as f:
+        json.dump({"dev": [f"q{i}" for i in range(2)],
+                   "test": [f"q{i}" for i in range(2, n_queries)]}, f)
+    return papers, anns
+
+
+@pytest.mark.parametrize("agg", ["l2max", "ot"])
+def test_end_to_end_eval(tmp_path, tok, rng, agg):
+    make_dataset(tmp_path, rng)
+    ds = EvalDataset("toy", str(tmp_path))
+    cfg = BertConfig.tiny()
+    enc = AspireSimilarityModel(
+        name="aspire_toy", bert_config=cfg,
+        params=jax.tree_util.tree_map(
+            np.asarray,
+            __import__("aspire_tpu.models.encoders", fromlist=["ConSentEncoder"])
+            .ConSentEncoder(cfg, max_sents=6)
+            .init(jax.random.key(0), *(np.zeros((1, 8), np.int32),) * 3)["params"]),
+        tokenizer=tok, agg=agg, max_sents=6, ot_temp=5000.0)
+    results_dir = str(tmp_path / "results")
+    out = run_evaluation(enc, ds, results_dir,
+                         cache_path=str(tmp_path / "enc.h5"))
+    # near-copy candidates must rank on top for every query -> perfect AP
+    for split in ("dev", "test"):
+        assert out["all"][split]["mean_av_precision"] > 0.99, out["all"][split]
+    # artifacts exist
+    import os
+    assert os.path.exists(os.path.join(results_dir, "scores.json"))
+    assert os.path.exists(os.path.join(results_dir, "query-evaluations.csv"))
+    assert os.path.exists(os.path.join(results_dir, "aggregated-evaluations.csv"))
+
+
+def test_encoding_cache_roundtrip(tmp_path, tok, rng):
+    make_dataset(tmp_path, rng, n_queries=2, n_cands=4)
+    ds = EvalDataset("toy", str(tmp_path))
+    from aspire_tpu.models.encoders import ConSentEncoder
+    cfg = BertConfig.tiny()
+    params = ConSentEncoder(cfg, max_sents=6).init(
+        jax.random.key(0), *(np.zeros((1, 8), np.int32),) * 3)["params"]
+    enc = AspireSimilarityModel(name="m", bert_config=cfg, params=params,
+                                tokenizer=tok, agg="l2max", max_sents=6)
+    enc.set_encodings_cache(str(tmp_path / "c.h5"))
+    e1 = enc.get_encoding(["q0", "q1"], ds)
+    # second call must hit the cache and return identical arrays
+    e2 = enc.get_encoding(["q0", "q1"], ds)
+    for pid in e1:
+        np.testing.assert_array_equal(np.asarray(e1[pid]), np.asarray(e2[pid]))
+
+
+def test_faceted_encoding_filter(tok):
+    cfg = BertConfig.tiny()
+    from aspire_tpu.models.encoders import ConSentEncoder
+    params = ConSentEncoder(cfg, max_sents=6).init(
+        jax.random.key(0), *(np.zeros((1, 8), np.int32),) * 3)["params"]
+    m = AspireSimilarityModel(name="m", bert_config=cfg, params=params,
+                              tokenizer=tok, agg="l2max", max_sents=6)
+    enc = np.arange(12, dtype=np.float32).reshape(4, 3)
+    data = {"FACETS": ["background_label", "objective_label", "method_label",
+                       "result_label"]}
+    got = m.get_faceted_encoding(enc, "background", data)
+    # objective maps to background -> rows 0 and 1
+    np.testing.assert_array_equal(got, enc[[0, 1]])
+    got_m = m.get_faceted_encoding(enc, "method", data)
+    np.testing.assert_array_equal(got_m, enc[[2]])
+    # sentence-entity: entities of facet sentences appended after all sents
+    m.encoding_type = "sentence-entity"
+    data["ENTITIES"] = [["e1"], [], ["e2", "e3"], ["e4"]]
+    enc2 = np.arange(24, dtype=np.float32).reshape(8, 3)
+    got_se = m.get_faceted_encoding(enc2, "method", data)
+    # method sentence idx 2; its entities are global rows 4+1=5,6
+    np.testing.assert_array_equal(got_se, enc2[[2, 5, 6]])

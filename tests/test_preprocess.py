@@ -1,0 +1,151 @@
+"""Preprocessing pipeline tests: filters, example generation, converters."""
+import json
+import os
+import numpy as np
+import pytest
+
+from aspire_tpu.data.preprocess import (
+    exclude_abstract, filter_cocitation_contexts, generate_examples_cocitabs,
+    generate_examples_sent_rand, generate_examples_ict, sentencize,
+    scidocs_to_common, treccovid_to_common,
+)
+
+
+def test_exclude_abstract():
+    ok = ["one two three four five."] * 5
+    assert not exclude_abstract(ok)
+    assert exclude_abstract(ok[:2])              # too few sentences
+    assert exclude_abstract(ok * 5)              # too many
+    assert exclude_abstract(ok + ["a b c"])      # short sentence
+    assert exclude_abstract(ok + ["w " * 85])    # long sentence
+
+
+def test_sentencize_fallback():
+    sents = sentencize("First sentence here. Second one too! Third (v2.0) ends.")
+    assert len(sents) == 3
+
+
+def test_filter_cocitation_contexts():
+    cocits = {
+        ("a", "b"): [
+            ("p1", "we follow [1] and (2) in this method of testing things"),
+            ("p1", "another context from the same citing paper [3] with words"),
+            ("p2", "we follow [4] and (5) in this method of testing things"),  # dup modulo digits
+            ("p3", "too short [6]"),
+            ("p4", "no brackets at all in this sentence of many tokens here ok"),
+        ],
+        ("c", "d", "e", "f"): [("p5", "four cocited papers get dropped [7] entirely")],
+        ("g", "h"): [("p6", "x " * 70 + "[8]")],
+    }
+    filt = filter_cocitation_contexts(cocits)
+    assert ("c", "d", "e", "f") not in filt
+    assert ("g", "h") not in filt            # only context too long
+    assert len(filt[("a", "b")]) == 1        # dups + per-citing-pid + noise removed
+    assert filt[("a", "b")][0][0] == "p1"
+
+
+def make_abs(rng, pid):
+    return {"title": f"title {pid}",
+            "abstract": [" ".join(rng.choice(list("abcdefgh"), 5)) for _ in range(4)]}
+
+
+def test_generate_examples_cocitabs_aligned(tmp_path, rng):
+    pids = [f"p{i}" for i in range(20)]
+    pid2abstract = {p: make_abs(rng, p) for p in pids}
+    cocits = {}
+    for i in range(0, 18, 2):
+        cocits[(pids[i], pids[i + 1])] = [
+            ("c1", f"context citing ({i}) with enough tokens to pass the filters"),
+            ("c2", f"another context citing [{i}] also having enough tokens here"),
+        ]
+
+    def fake_aligner(sents):
+        # deterministic per-sentence embedding
+        return np.stack([np.frombuffer(
+            __import__("hashlib").sha256(s.encode()).digest()[:16], np.uint8
+        ).astype(np.float32) for s in sents])
+
+    counts = generate_examples_cocitabs(cocits, pid2abstract, str(tmp_path),
+                                        train_size=100, dev_size=10,
+                                        aligner=fake_aligner)
+    assert counts["train"] > 0 and counts["dev"] > 0
+    train = [json.loads(l) for l in open(tmp_path / "train-cocitabsalign.jsonl")]
+    dev = [json.loads(l) for l in open(tmp_path / "dev-cocitabsalign.jsonl")]
+    for ex in train:
+        assert len(ex["pos_context"]["cc_align"]) == 2
+        assert len(ex["pos_context"]["abs_align"]) == 2
+        qa = ex["query"]["ABSTRACT"]
+        assert 0 <= ex["pos_context"]["cc_align"][0] < len(qa)
+        assert "neg_context" not in ex
+    for ex in dev:
+        assert "neg_context" in ex
+        assert "cc_align" in ex["neg_context"]
+    # determinism: same seed -> same first example
+    generate_examples_cocitabs(cocits, pid2abstract, str(tmp_path / "b"),
+                               train_size=100, dev_size=10, aligner=fake_aligner)
+    train2 = [json.loads(l) for l in open(tmp_path / "b" / "train-cocitabsalign.jsonl")]
+    assert train[0] == train2[0]
+
+
+def test_generate_sent_and_ict(tmp_path, rng):
+    cocits_sent = {("a", "b"): [("p1", "sent one is here"), ("p2", "sent two is here"),
+                                ("p3", "sent three is here")],
+                   ("c", "d"): [("p4", "only one context")]}
+    counts = generate_examples_sent_rand(cocits_sent, str(tmp_path))
+    assert counts["train"] + counts["dev"] == 1  # second key has < 2 contexts
+    pid2abs = {f"p{i}": make_abs(rng, i) for i in range(5)}
+    n = generate_examples_ict(pid2abs, str(tmp_path), n_examples=7)
+    assert n == 7
+    lines = [json.loads(l) for l in open(tmp_path / "train-ict.jsonl")]
+    assert all(len(ex["query"]["ABSTRACT"]) == 1 for ex in lines)
+
+
+def test_scidocs_converter(tmp_path):
+    in_dir = tmp_path / "in"
+    (in_dir / "cite").mkdir(parents=True)
+    meta = {
+        "q1": {"title": "T1", "abstract": "First sent. Second sent.", "year": 2019},
+        "c1": {"title": "T2", "abstract": "Cand one text. More text.", "year": 2019},
+        "c2": {"title": "T3", "abstract": "Cand two text here. Yes.", "year": 2020},
+        "bad": {"title": None, "abstract": None, "year": 2020},
+    }
+    (in_dir / "paper_metadata_view_cite_read.json").write_text(json.dumps(meta))
+    (in_dir / "cite" / "val.qrel").write_text("q1 0 c1 1\nq1 0 bad 1\n")
+    (in_dir / "cite" / "test.qrel").write_text("q1 0 c2 0\n")
+    out = scidocs_to_common(str(in_dir), str(tmp_path / "out"), "cite")
+    assert out["queries"] == 1
+    anns = json.loads((tmp_path / "out" / "test-pid2anns-scidcite.json").read_text())
+    assert anns["q1"]["cands"] == ["c1", "c2"]
+    assert anns["q1"]["relevance_adju"] == [1, 0]
+    absf = [json.loads(l) for l in open(tmp_path / "out" / "abstracts-scidcite.jsonl")]
+    assert {d["paper_id"] for d in absf} == {"q1", "c1", "c2"}
+
+
+def test_treccovid_converter(tmp_path):
+    in_dir = tmp_path / "tc"
+    in_dir.mkdir()
+    qrels = []
+    docs = {}
+    for t in range(4):
+        for d in range(4):
+            did = f"doc{t}_{d}"
+            qrels.append(f"{t+1} 5 {did} 2")
+            docs[did] = (f"Title {did}", f"Abstract sentence one for {did}. And two.")
+    (in_dir / "qrels-covid_d5_j0.5-5.txt").write_text("\n".join(qrels) + "\n")
+    import csv as _csv
+    with open(in_dir / "metadata-2021-06-21.csv", "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["cord_uid", "title", "abstract",
+                                           "publish_time", "authors"])
+        w.writeheader()
+        for did, (t, a) in docs.items():
+            w.writerow({"cord_uid": did, "title": t, "abstract": a,
+                        "publish_time": "2020-01-01", "authors": "A"})
+    out = treccovid_to_common(str(in_dir), str(tmp_path / "out"))
+    assert out["papers"] == 16 and out["topics"] == 4
+    anns = json.loads((tmp_path / "out" / "test-pid2anns-treccovid.json").read_text())
+    q, info = next(iter(anns.items()))
+    # 3 same-topic positives + 12 other-topic negatives
+    assert info["relevance_adju"].count(2) == 3
+    assert info["relevance_adju"].count(0) == 12
+    splits = json.loads((tmp_path / "out" / "treccovid-evaluation_splits.json").read_text())
+    assert set(splits["dev"]).isdisjoint(splits["test"])
