@@ -227,6 +227,11 @@ class SpecterDocModel:
         return _cls_l2_triplet(q_cls, p_cls, n_cls)
 
 
+def _sent_models():
+    from .sent_models import SentTripleModel, ICTModel
+    return {"cosentbert": SentTripleModel, "ictsentbert": ICTModel}
+
+
 MODEL_REGISTRY = {
     "cospecter": SpecterDocModel,
     "miswordbienc": WordSentAlignModel,
@@ -236,9 +241,11 @@ MODEL_REGISTRY = {
 
 
 def build_model(hp: ModelHParams, bert_config: BertConfig, dtype: Any = jnp.float32):
-    """Model factory keyed by the reference registry (main_fsim.py:91-99)."""
+    """Model factory keyed by the reference registries (main_fsim.py:91-99,
+    main_sentsim.py -- cosentbert/ictsentbert included)."""
+    registry = {**MODEL_REGISTRY, **_sent_models()}
     try:
-        cls = MODEL_REGISTRY[hp.model_name]
+        cls = registry[hp.model_name]
     except KeyError:
         raise ValueError(f"Unknown model: {hp.model_name}") from None
     return cls(hp, bert_config, dtype)
