@@ -1,0 +1,120 @@
+"""S2ORC (GORC) corpus mining: citation contexts -> co-citations.
+
+Re-implements the contracts of src/pre_process/pre_proc_gorc.py as pure,
+multiprocessing-friendly functions:
+
+  * extract_citation_contexts -- per full-text paper: map linked bib entries
+    to cited pids, sentencize body paragraphs, and record the sentence
+    containing each citation span (:379-424)
+  * gather_cocitations -- group citation contexts by (paragraph, sentence)
+    position: papers cited in the SAME sentence are co-cited; merge across
+    the corpus into {(cited pids): [(citing_pid, context_sentence)]}
+    (:589-672)
+  * cocit_corpus_to_examples glue lives in preprocess.py (filtering +
+    example generation).
+
+File contracts preserved: pid2citcontext-{area}.jsonl lines of
+{citing_pid: {cited_pid: [[par_i, sent_i, sentence], ...]}}, and
+cocitpids2contexts-{area}.pickle.
+"""
+from __future__ import annotations
+
+import codecs
+import collections
+import json
+import pickle
+
+from .preprocess import sentencize, exclude_abstract
+
+
+def extract_citation_contexts(paper_json: dict) -> dict:
+    """One full-text paper -> {cited_pid: [(par_i, sent_i, sentence), ...]}.
+
+    paper_json follows the S2ORC grobid parse schema: 'grobid_parse' with
+    'bib_entries' ({bibid: {'links': pid}}) and 'body_text'
+    ([{'text', 'cite_spans': [{'start','end','ref_id'}]}]).
+    """
+    parsed = paper_json.get("grobid_parse") or {}
+    bib2pid = {bibid: bm["links"]
+               for bibid, bm in (parsed.get("bib_entries") or {}).items()
+               if bm.get("links")}
+    if not bib2pid:
+        return {}
+    pid2citcontext = collections.defaultdict(list)
+    for par_i, par_dict in enumerate(parsed.get("body_text") or []):
+        par_text = par_dict.get("text") or ""
+        par_sents = sentencize(par_text)
+        for span in par_dict.get("cite_spans") or []:
+            ref = span.get("ref_id")
+            if not ref or ref not in bib2pid:
+                continue
+            span_text = par_text[span["start"]: span["end"]]
+            pid = bib2pid[ref]
+            for sent_i, sent in enumerate(par_sents):
+                if span_text and span_text in sent:
+                    pid2citcontext[pid].append((par_i, sent_i, sent))
+    return dict(pid2citcontext)
+
+
+def write_citation_contexts(papers, out_path: str) -> int:
+    """Stream papers (dicts with 'paper_id') -> pid2citcontext jsonl."""
+    n = 0
+    with codecs.open(out_path, "w", "utf-8") as f:
+        for paper in papers:
+            ctx = extract_citation_contexts(paper)
+            if ctx:
+                f.write(json.dumps({paper["paper_id"]: ctx}) + "\n")
+                n += 1
+    return n
+
+
+def gather_cocitations(citcontext_lines) -> tuple[dict, dict]:
+    """Iterate pid2citcontext jsonl lines -> (cocited, single-cited) maps.
+
+    Returns ({(sorted cited pids): [(citing_pid, sentence), ...]},
+             {(pid,): [...]}) exactly like pre_proc_gorc.py:589-672.
+    """
+    cocited = collections.defaultdict(list)
+    single = collections.defaultdict(list)
+    for line in citcontext_lines:
+        d = json.loads(line) if isinstance(line, str) else line
+        citing_pid, cited2contexts = next(iter(d.items()))
+        by_position = collections.defaultdict(list)
+        for cited_pid, tuples in cited2contexts.items():
+            for par_i, sent_i, sent in tuples:
+                by_position[(par_i, sent_i)].append((cited_pid, sent))
+        paper_cocits = collections.defaultdict(list)
+        for group in by_position.values():
+            sent = group[0][1]
+            pids = sorted({t[0] for t in group})
+            paper_cocits[tuple(pids)].append((citing_pid, sent))
+        for pids, contexts in paper_cocits.items():
+            (single if len(pids) == 1 else cocited)[pids].extend(contexts)
+    return dict(cocited), dict(single)
+
+
+def gather_cocitations_file(in_jsonl: str, out_pickle: str,
+                            out_single_pickle: str | None = None) -> dict:
+    with codecs.open(in_jsonl, "r", "utf-8") as f:
+        cocited, single = gather_cocitations(f)
+    with open(out_pickle, "wb") as f:
+        pickle.dump(cocited, f)
+    if out_single_pickle:
+        with open(out_single_pickle, "wb") as f:
+            pickle.dump(single, f)
+    return {"cocited_sets": len(cocited), "single_cited": len(single)}
+
+
+def filter_corpus_abstracts(papers) -> dict:
+    """{pid: {'title', 'abstract'}} for papers passing the noise filter
+    (pre_proc_gorc.py cocit_corpus_to_jsonl + exclude_abstract)."""
+    out = {}
+    for paper in papers:
+        title = paper.get("title")
+        abstract = paper.get("abstract")
+        if isinstance(abstract, str):
+            abstract = sentencize(abstract)
+        if not title or not abstract or exclude_abstract(abstract):
+            continue
+        out[paper["paper_id"]] = {"title": title, "abstract": abstract}
+    return out

@@ -64,7 +64,12 @@ class FeatureBatch:
 def tokenize_doc_sents(doc_sents: list[str], tokenizer,
                        max_num_toks: int = MAX_NUM_TOKS) -> TokenizedDoc:
     """Tokenize one document's sentences (title first) with the 500-token
-    truncate-final-sentence rule and +1 CLS offset."""
+    truncate-final-sentence rule and +1 CLS offset.
+
+    Dispatches to the native tokenizer (text/fast.py, ~80x faster) when the
+    tokenizer exposes `tokenize_doc_sents` itself."""
+    if hasattr(tokenizer, "tokenize_doc_sents"):
+        return tokenizer.tokenize_doc_sents(doc_sents, max_num_toks=max_num_toks)
     all_token_ids: list[int] = []
     sent_idx_lists: list[list[int]] = []
     cur_len = 0

@@ -1,0 +1,77 @@
+"""Native tokenizer parity vs. HF BertTokenizer and the Python packing path."""
+import numpy as np
+import pytest
+from transformers import BertTokenizer
+
+from aspire_tpu.text.tokenize import tokenize_doc_sents
+from aspire_tpu.text.fast import FastWordPiece
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+         "the", "model", "we", "propose", "a", "new", "method", "for",
+         "document", "similarity", "using", "optimal", "transport",
+         "em", "##bed", "##ding", "##s", "and", "sentence", "-", "level",
+         "(", ")", "[", "]", "1", "2", "99", ".", ",", "su", "##per",
+         "##vision", "co", "##cit", "##ation", "title"]
+
+
+@pytest.fixture(scope="module")
+def vocab_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("nv") / "vocab.txt"
+    p.write_text("\n".join(VOCAB) + "\n")
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def hf(vocab_file):
+    return BertTokenizer(vocab_file, do_lower_case=True)
+
+
+@pytest.fixture(scope="module")
+def fast(vocab_file):
+    return FastWordPiece(vocab_file)
+
+
+SENTS = [
+    "We propose a new method for document similarity.",
+    "Using optimal transport embeddings, and sentence-level supervision (1).",
+    "The model [2] and cocitation supervision.",
+    "UNKNOWNWORD99 stays unknown, (surely).",
+    "punctuation...everywhere, [1] (2) [99].",
+]
+
+
+def test_wordpiece_parity_vs_hf(hf, fast):
+    for sent in SENTS:
+        want = hf.convert_tokens_to_ids(hf.tokenize(sent))
+        got = fast.encode(sent).tolist()
+        assert got == want, (sent, hf.tokenize(sent),
+                             [VOCAB[i] for i in got])
+
+
+def test_doc_packing_parity(hf, fast):
+    doc = ["title [SEP] "] + SENTS[:3]
+    ref = tokenize_doc_sents(doc, hf)
+    got = fast.tokenize_doc_sents(doc)
+    assert got.token_ids == ref.token_ids
+    assert got.sent_token_idxs == ref.sent_token_idxs
+    # with truncation
+    ref_t = tokenize_doc_sents(doc, hf, max_num_toks=12)
+    got_t = fast.tokenize_doc_sents(doc, max_num_toks=12)
+    assert got_t.token_ids == ref_t.token_ids
+    assert got_t.sent_token_idxs == ref_t.sent_token_idxs
+
+
+def test_speed_smoke(fast, hf):
+    import time
+    text = " ".join(SENTS) * 4
+    n = 300
+    t0 = time.perf_counter()
+    for _ in range(n):
+        fast.encode(text)
+    t_fast = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n):
+        hf.convert_tokens_to_ids(hf.tokenize(text))
+    t_hf = time.perf_counter() - t0
+    # should be much faster than the Python tokenizer
+    assert t_fast < t_hf, (t_fast, t_hf)
