@@ -1,0 +1,139 @@
+"""Pallas TPU kernel: batched annealed log-domain Sinkhorn.
+
+Layout insight: a single OT problem here is tiny (<= ~24 x 24 sentences) --
+far below VPU width -- so the kernel puts the BATCH on the 128-lane axis and
+the two sentence axes on sublanes: cost lives as [N, M, B_tile].  Every
+softmin then reduces over a sublane axis while vectorizing over 128+ batch
+lanes, and each batch tile's whole annealing loop runs out of VMEM (one HBM
+read of the cost, one write of the potentials).
+
+Semantics match ops.sinkhorn.sinkhorn_potentials exactly (same eps schedule,
+symmetric 0.5-averaged Jacobi updates, final extrapolation at eps=blur);
+parity-tested in tests/test_pallas.py.  Pads are handled the geomloss way --
+log-weights floored at -1e5.  Forward-only: training-time differentiation
+uses the XLA path (query-time scoring needs no gradients).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .cdist import pairwise_l2
+from .sinkhorn import log_weights, max_diameter, _schedule_len
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _sinkhorn_kernel(scalars_ref, cost_ref, loga_ref, logb_ref,
+                     f_ref, g_ref, *, blur: float, scaling: float,
+                     max_iters: int):
+    """One batch tile, batch-on-lanes layout.
+
+    cost: [N, M, TB]; log_a/f: [N, TB]; log_b/g: [M, TB].
+    """
+    diameter = scalars_ref[0]
+    n_iters = scalars_ref[1].astype(jnp.int32)
+    cost = cost_ref[...]
+    log_a = loga_ref[...]
+    log_b = logb_ref[...]
+    log_scaling = math.log(scaling)
+
+    def softmin_over_m(eps, h):
+        # f[i, b] = -eps * lse_j(h[j, b] - cost[i, j, b]/eps)
+        t = h[None, :, :] - cost / eps
+        m = jnp.max(t, axis=1)
+        return -eps * (jnp.log(jnp.sum(jnp.exp(t - m[:, None, :]), axis=1)) + m)
+
+    def softmin_over_n(eps, h):
+        # g[j, b] = -eps * lse_i(h[i, b] - cost[i, j, b]/eps)
+        t = h[:, None, :] - cost / eps
+        m = jnp.max(t, axis=0)
+        return -eps * (jnp.log(jnp.sum(jnp.exp(t - m[None, :, :]), axis=0)) + m)
+
+    def eps_at(i):
+        k = jnp.maximum(i - 1, 0).astype(jnp.float32)
+        return jnp.maximum(diameter * jnp.exp(k * log_scaling), blur)
+
+    eps0 = eps_at(jnp.int32(0))
+    f = softmin_over_m(eps0, log_b)
+    g = softmin_over_n(eps0, log_a)
+
+    def body(i, fg):
+        # Fixed trip count + select-freeze: measured faster on Mosaic than a
+        # dynamic while-loop bound (pipelining across iterations survives).
+        f, g = fg
+        eps = eps_at(i)
+        ft = softmin_over_m(eps, log_b + g / eps)
+        gt = softmin_over_n(eps, log_a + f / eps)
+        live = i < n_iters
+        f = jnp.where(live, 0.5 * (f + ft), f)
+        g = jnp.where(live, 0.5 * (g + gt), g)
+        return (f, g)
+
+    f, g = jax.lax.fori_loop(0, max_iters, body, (f, g))
+    f_ref[...] = softmin_over_m(blur, log_b + g / blur)
+    g_ref[...] = softmin_over_n(blur, log_a + f / blur)
+
+
+@partial(jax.jit, static_argnames=("blur", "scaling", "max_iters", "batch_tile",
+                                   "interpret"))
+def sinkhorn_potentials_pallas(
+    a: jax.Array, x: jax.Array, b: jax.Array, y: jax.Array,
+    blur: float = 0.05, scaling: float = 0.9, max_iters: int = 128,
+    batch_tile: int = 256, interpret: bool = False,
+):
+    """Drop-in forward replacement for sinkhorn_potentials (balanced case).
+
+    a: [bsz, n]; x: [bsz, n, d]; b: [bsz, m]; y: [bsz, m, d].
+    Returns (f [bsz, n], g [bsz, m]) float32.
+    """
+    bsz, n = a.shape
+    m = b.shape[1]
+    cost = pairwise_l2(x, y)
+    diameter = max_diameter(x, y)
+    n_iters = _schedule_len(diameter, blur, scaling).astype(jnp.float32)
+
+    n_p = _round_up(max(n, 8), 8)
+    m_p = _round_up(max(m, 8), 8)
+    b_p = _round_up(max(bsz, 128), batch_tile)
+    # batch-on-lanes layout: [N, M, B], [N, B], [M, B]
+    cost_p = jnp.full((n_p, m_p, b_p), 1e6, jnp.float32)
+    cost_p = cost_p.at[:n, :m, :bsz].set(jnp.transpose(cost, (1, 2, 0)))
+    la = jnp.full((n_p, b_p), -100000.0, jnp.float32)
+    la = la.at[:n, :bsz].set(log_weights(a).T)
+    lb = jnp.full((m_p, b_p), -100000.0, jnp.float32)
+    lb = lb.at[:m, :bsz].set(log_weights(b).T)
+    scalars = jnp.stack([diameter, n_iters]).astype(jnp.float32)
+
+    grid = (b_p // batch_tile,)
+    kernel = partial(_sinkhorn_kernel, blur=blur, scaling=scaling,
+                     max_iters=max_iters)
+    f, g = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((n_p, m_p, batch_tile), lambda i, s: (0, 0, i)),
+                pl.BlockSpec((n_p, batch_tile), lambda i, s: (0, i)),
+                pl.BlockSpec((m_p, batch_tile), lambda i, s: (0, i)),
+            ],
+            out_specs=[
+                pl.BlockSpec((n_p, batch_tile), lambda i, s: (0, i)),
+                pl.BlockSpec((m_p, batch_tile), lambda i, s: (0, i)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_p, b_p), jnp.float32),
+            jax.ShapeDtypeStruct((m_p, b_p), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scalars, cost_p, la, lb)
+    return f[:n, :bsz].T, g[:m, :bsz].T

@@ -1,0 +1,31 @@
+"""Pallas kernel parity tests (interpret mode on CPU; compiled path is
+exercised on the real TPU by bench/verify runs)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from aspire_tpu.ops.sinkhorn import sinkhorn_potentials
+from aspire_tpu.ops.pallas_sinkhorn import sinkhorn_potentials_pallas
+
+
+def test_pallas_sinkhorn_matches_xla(rng):
+    bsz, n, m, d = 5, 7, 11, 16
+    x = rng.normal(size=(bsz, n, d)).astype(np.float32)
+    y = rng.normal(size=(bsz, m, d)).astype(np.float32)
+    a = rng.random((bsz, n)).astype(np.float32) + 0.1
+    b = rng.random((bsz, m)).astype(np.float32) + 0.1
+    # zero some pad atoms
+    a[:, -2:] = 0.0
+    b[:, -3:] = 0.0
+    a /= a.sum(1, keepdims=True)
+    b /= b.sum(1, keepdims=True)
+
+    f_ref, g_ref = sinkhorn_potentials(a, x, b, y)
+    f_pl, g_pl = sinkhorn_potentials_pallas(
+        jnp.asarray(a), jnp.asarray(x), jnp.asarray(b), jnp.asarray(y),
+        interpret=True)
+    # compare on atoms with mass
+    np.testing.assert_allclose(np.asarray(f_pl)[:, :-2],
+                               np.asarray(f_ref)[:, :-2], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g_pl)[:, :-3],
+                               np.asarray(g_ref)[:, :-3], rtol=2e-3, atol=2e-3)
