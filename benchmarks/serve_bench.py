@@ -1,0 +1,94 @@
+"""Serving-path benchmark: dense-bucketed l2max search + OT rerank.
+
+Simulates the BASELINE.json config-5 per-chip load: a 1M-abstract corpus
+sharded over v5e-8 puts ~125k docs on each chip; this script measures one
+chip's shard scan + top-k (the all-gather merge adds ~10us of ICI for k<=100)
+and the OT rerank of the top candidates.
+
+Run: python benchmarks/serve_bench.py [--docs 125000]
+"""
+import argparse
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+
+from aspire_tpu.index.dense import (
+    build_dense_index, make_dense_search, flatten_device_buckets)
+from aspire_tpu.core.types import MultiVec
+from aspire_tpu.ops.distances import wasserstein_dist
+from timing import timed_loop
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=125_000)
+    ap.add_argument("--k", type=int, default=50)
+    args = ap.parse_args()
+
+    d = 768
+    rng = np.random.default_rng(0)
+    # realistic sentence-count distribution (3..20, mean ~9)
+    lens = np.clip(rng.poisson(9, args.docs), 3, 20)
+    # build buckets directly on device-friendly arrays (random reps)
+    import ml_dtypes
+    print(f"building {args.docs}-doc dense index "
+          f"(~{lens.sum() * d * 2 / 1e9:.2f} GB bf16)...", flush=True)
+    doc_reps = [rng.standard_normal((l, d), dtype=np.float32) * 2 for l in lens]
+    # coarse buckets trade ~25% padding for wide MXU blocks (~580 GB/s)
+    idx = build_dense_index(doc_reps, [f"p{i}" for i in range(args.docs)],
+                            buckets=(12, 24))
+    dev = idx.device_arrays()
+    flat = flatten_device_buckets(dev)
+    search = make_dense_search(len(dev), k=args.k)
+
+    qpad = jnp.asarray(np.pad(rng.standard_normal((10, d)).astype(np.float32) * 2,
+                              ((0, 6), (0, 0))))
+
+    def one_search(acc, qpad, *flat):
+        v, i = search(qpad + acc * 0.0, jnp.int32(10), *flat)
+        return v[0]
+
+    dt = timed_loop(one_search, 30, qpad, *flat)
+    gb = sum(b["sents"].nbytes + b["norms"].nbytes for b in idx.buckets) / 1e9
+    print(json.dumps({"metric": "l2max_search_ms_per_query",
+                      "docs": args.docs, "value": round(dt * 1000, 3),
+                      "unit": "ms", "effective_gbps": round(gb / dt, 1)}))
+
+    # OT rerank of top-k
+    cand = MultiVec(
+        embed=jnp.asarray(rng.standard_normal((args.k, 20, d)).astype(np.float32)),
+        lens=jnp.asarray(np.clip(rng.poisson(9, args.k), 3, 20).astype(np.int32)))
+    q = MultiVec(embed=qpad[None, :, :], lens=jnp.asarray([10], np.int32))
+
+    def mk_rerank(scaling, max_iters):
+        def one_rerank(acc, qe, ce):
+            qq = MultiVec(embed=qe + acc * 0.0, lens=q.lens)
+            k = ce.shape[0]
+            qt = MultiVec(embed=jnp.broadcast_to(qq.embed, (k,) + qq.embed.shape[1:]),
+                          lens=jnp.broadcast_to(qq.lens, (k,)))
+            sims, _ = wasserstein_dist(qt, MultiVec(embed=ce, lens=cand.lens),
+                                       temp=5000.0, scaling=scaling,
+                                       return_pair_sims=True,
+                                       max_iters=max_iters)
+            return sims[0]
+        return one_rerank
+
+    for label, scaling, mi in (("parity", 0.9, 128), ("fast", 0.8, 64)):
+        dt_r = timed_loop(mk_rerank(scaling, mi), 300, q.embed, cand.embed)
+        print(json.dumps({"metric": f"ot_rerank_ms_topk_{label}", "k": args.k,
+                          "scaling": scaling, "value": round(dt_r * 1000, 3),
+                          "unit": "ms"}))
+        print(json.dumps({"metric": f"end_to_end_query_ms_{label}",
+                          "value": round((dt + dt_r) * 1000, 3), "unit": "ms",
+                          "vs_target_5ms": round((dt + dt_r) * 1000 / 5.0, 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Honest TPU timing under the axon tunnel.
+
+Two measurement hazards in this environment:
+  * `block_until_ready` does not actually block over the tunnel;
+  * each host<->device round trip (device_get or per-call dispatch) costs a
+    ~25 ms network RTT.
+
+`timed_loop` therefore (a) repeats the op inside ONE jitted fori_loop with a
+serial data dependency, (b) fetches one scalar with device_get, and
+(c) subtracts a calibrated RTT measured on a trivial jit.
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_RTT_CACHE: list[float] = []
+
+
+def tunnel_rtt(n: int = 10) -> float:
+    """Median round-trip of a trivial jit + device_get."""
+    if _RTT_CACHE:
+        return _RTT_CACHE[0]
+
+    @jax.jit
+    def nothing(x):
+        return x + 1.0
+
+    x = jnp.float32(3.0)
+    jax.device_get(nothing(x))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.device_get(nothing(x))
+        ts.append(time.perf_counter() - t0)
+    _RTT_CACHE.append(float(np.median(ts)))
+    return _RTT_CACHE[0]
+
+
+def timed_loop(fn, n_iter: int, *args) -> float:
+    """Mean seconds per call of fn(acc, *args) -> scalar, RTT-corrected.
+
+    fn must consume `acc` (a f32 scalar) so iterations serialize, and return
+    a f32 scalar.
+    """
+    rtt = tunnel_rtt()
+
+    @jax.jit
+    def loop(*args):
+        return jax.lax.fori_loop(0, n_iter,
+                                 lambda i, acc: fn(acc, *args), jnp.float32(0.0))
+
+    jax.device_get(loop(*args))  # compile + warm
+    t0 = time.perf_counter()
+    jax.device_get(loop(*args))
+    return max((time.perf_counter() - t0 - rtt), 1e-9) / n_iter
