@@ -59,7 +59,8 @@ class TripleStream:
 
     def __init__(self, path: str, tokenizer, hp: ModelHParams,
                  micro_batch: int, n_micro: int, seq_len: int = 512,
-                 align_type: str | None = None, max_examples: int | None = None):
+                 align_type: str | None = None, max_examples: int | None = None,
+                 shuffle_seed: int | None = None, shuffle_buffer: int = 50_000):
         self.path = path
         self.tokenizer = tokenizer
         self.hp = hp
@@ -68,13 +69,36 @@ class TripleStream:
         self.seq_len = seq_len
         self.align_type = align_type
         self.max_examples = max_examples
+        self.shuffle_seed = shuffle_seed
+        self.shuffle_buffer = shuffle_buffer
+        self.epoch = 0
+
+    def _examples(self) -> Iterator[dict]:
+        """Stream examples, with a seeded buffer shuffle when requested
+        (the per-epoch `shuf` of run_main_fsim-ddp.sh:51-90; seed varies by
+        epoch so successive passes see different orders)."""
+        if self.shuffle_seed is None:
+            yield from read_jsonl(self.path)
+            return
+        import random
+        rng = random.Random(self.shuffle_seed + self.epoch)
+        self.epoch += 1
+        buf: list[dict] = []
+        for ex in read_jsonl(self.path):
+            buf.append(ex)
+            if len(buf) >= self.shuffle_buffer:
+                rng.shuffle(buf)
+                yield from buf
+                buf = []
+        rng.shuffle(buf)
+        yield from buf
 
     def __iter__(self) -> Iterator[dict]:
         micros: list[dict] = []
         queries: list[dict] = []
         positives: list[dict] = []
         n_seen = 0
-        for ex in read_jsonl(self.path):
+        for ex in self._examples():
             if self.max_examples is not None and n_seen >= self.max_examples:
                 break
             queries.append(ex["query"])
