@@ -34,7 +34,9 @@ def cmd_train(args):
     from .core.config import RunConfig
     from .models.bert import BertConfig
     from .models.doc_models import build_model
-    from .train.trainer import Trainer
+    from .train.trainer import Trainer, enable_compilation_cache
+
+    enable_compilation_cache()
     from .data.readers import TripleStream, dev_batches
     from .parallel.mesh import make_mesh
 

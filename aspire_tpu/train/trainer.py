@@ -41,6 +41,18 @@ from .schedules import build_schedule
 log = logging.getLogger(__name__)
 
 
+def enable_compilation_cache(path: str = "~/.cache/jax_comp") -> None:
+    """Persistent XLA compilation cache (BERT-base step compiles take
+    minutes; cached reloads are seconds)."""
+    import pathlib
+    p = pathlib.Path(path).expanduser()
+    p.mkdir(parents=True, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(p))
+    except Exception:  # pragma: no cover - older jax
+        pass
+
+
 @struct.dataclass
 class TrainState:
     step: jax.Array            # number of optimizer updates taken
@@ -109,9 +121,11 @@ class Trainer:
 
     def _build_train_step(self):
         model, optimizer = self.model, self.optimizer
-        repl = NamedSharding(self.mesh, P())
 
-        @partial(jax.jit, out_shardings=(repl, None), donate_argnums=(0,))
+        # NOTE: no explicit out_shardings -- state enters replicated and XLA
+        # keeps it so; pinning out_shardings was observed to force a second
+        # full compile (output layouts diverge from the init layouts).
+        @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, superbatch, rng):
             n_micro = jax.tree_util.tree_leaves(superbatch)[0].shape[0]
 
