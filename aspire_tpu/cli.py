@@ -150,6 +150,11 @@ def cmd_rank(args):
     ranked = {}
     for qpid in pool:
         q_enc = model.encode([dataset.get(qpid)])[0]
+        if args.facet:
+            # faceted search: only the query sentences labelled with the
+            # facet participate (rank_pool_sentfaceted, pp_gen_nearest.py:988)
+            q_enc = model.get_faceted_encoding(q_enc, args.facet,
+                                               dataset.get(qpid))
         scores, docs = l2max_search(jnp.asarray(q_enc), jnp.int32(len(q_enc)),
                                     sents, doc_ids, idx.n_docs, args.k)
         docs_np = np.asarray(docs)

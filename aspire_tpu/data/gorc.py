@@ -27,6 +27,22 @@ import pickle
 from .preprocess import sentencize, exclude_abstract
 
 
+def filter_metadata(meta_rows, require_fields=("abstract", "title")) -> list[dict]:
+    """Filter S2ORC metadata records to full-text parsed papers
+    (pre_proc_gorc.py:43-89): must have a grobid parse, text, and the
+    required fields non-empty."""
+    out = []
+    for row in meta_rows:
+        if not row.get("has_grobid") and not row.get("grobid_parse"):
+            continue
+        if row.get("has_pdf_parse") is False:
+            continue
+        if any(not row.get(f) for f in require_fields):
+            continue
+        out.append(row)
+    return out
+
+
 def extract_citation_contexts(paper_json: dict) -> dict:
     """One full-text paper -> {cited_pid: [(par_i, sent_i, sentence), ...]}.
 

@@ -150,6 +150,25 @@ class WordSentAlignModel(ConSentDocModel):
     """miswordbienc / miswordpolyenc (disent_models.py:208-535,840-925)."""
 
 
+class WordSentAbsAlignModel(ConSentDocModel):
+    """miswordabsbienc: sentence-distance triplet + abstract-CLS triplet with
+    an optional L1 sparsity penalty on the cross-doc similarity matrix
+    (WordSentAbsAlignBiEnc, disent_models.py:538-660)."""
+
+    def _combine_losses(self, batch, q_cls, q_sents, p_cls, p_sents,
+                        n_cls, n_sents, perm):
+        loss = self.sent_loss_prop * _triplet_margin(
+            self.dist_fn(q_sents, p_sents), self.dist_fn(q_sents, n_sents))
+        loss = loss + self.abs_loss_prop * _cls_l2_triplet(q_cls, p_cls, n_cls)
+        cd_l1 = float(self.hp.cd_l1_prop)
+        if cd_l1 > 0 and perm is not None:
+            pair_sims = -pairwise_l2(q_sents.embed, p_sents.embed)
+            b = pair_sims.shape[0]
+            sims_norm = jnp.sum(jnp.abs(pair_sims.reshape(b, -1)), axis=1)
+            loss = loss + cd_l1 * jnp.sum(sims_norm)
+        return loss
+
+
 class WordSentAbsSupAlignModel(ConSentDocModel):
     """sbalisentbienc: tsAspire/ts+otAspire with pre-aligned sentence
     supervision (disent_models.py:663-837)."""
@@ -235,6 +254,7 @@ def _sent_models():
 MODEL_REGISTRY = {
     "cospecter": SpecterDocModel,
     "miswordbienc": WordSentAlignModel,
+    "miswordabsbienc": WordSentAbsAlignModel,
     "miswordpolyenc": WordSentAlignModel,
     "sbalisentbienc": WordSentAbsSupAlignModel,
 }

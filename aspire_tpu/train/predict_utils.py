@@ -1,0 +1,42 @@
+"""Dev-set evaluation helpers (src/learning/predict_utils.py port).
+
+batched_loss: summed no-grad loss over a dev stream (the early-stop signal,
+:12-83).  batched_f1: macro/binary F1 from logits for classification-style
+dev scoring (:86-141, sklearn-based in the reference)."""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+import jax
+
+
+def batched_loss(model, params, batches: Iterator, rng=None) -> float:
+    """Sum of deterministic losses over a dev batch stream."""
+    key = rng if rng is not None else jax.random.key(0)
+    import jax.numpy as jnp
+
+    @jax.jit
+    def one(params, batch, key):
+        return model.train_loss(params, batch, key, False)
+
+    total = 0.0
+    for batch in batches:
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        total += float(one(params, batch, key))
+    return total
+
+
+def batched_f1(predict_fn, params, batches: Iterator, average: str = "binary") -> float:
+    """F1 over a labelled dev stream; predict_fn(params, batch) -> logits.
+
+    Each batch dict must carry 'labels'."""
+    from sklearn.metrics import f1_score
+
+    preds, golds = [], []
+    for batch in batches:
+        logits = np.asarray(predict_fn(params, batch))
+        preds.extend(np.argmax(logits, axis=-1).tolist())
+        golds.extend(np.asarray(batch["labels"]).tolist())
+    return float(f1_score(golds, preds, average=average))
