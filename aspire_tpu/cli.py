@@ -112,7 +112,7 @@ def cmd_build_index(args):
 
     from .data.readers import read_jsonl
     from .evaluation.models import AspireSimilarityModel
-    from .index.build import build_index_from_reps
+    from .index.dense import build_dense_index
 
     model = AspireSimilarityModel.from_trained(
         "index-encoder", args.run_dir,
@@ -125,11 +125,11 @@ def cmd_build_index(args):
     reps = []
     for i in range(0, len(corpus), args.batch_size):
         reps.extend(model.encode(corpus[i:i + args.batch_size]))
-    idx = build_index_from_reps(reps, pids, n_shards=args.n_shards,
-                                dtype=np.float32 if not args.bf16 else
-                                __import__("ml_dtypes").bfloat16)
+    dtype = __import__("ml_dtypes").bfloat16 if args.bf16 else np.float32
+    idx = build_dense_index(reps, pids, n_shards=args.n_shards, dtype=dtype)
     idx.save(args.out)
-    print(f"indexed {idx.n_docs} docs / {idx.n_shards} shards -> {args.out}")
+    print(f"indexed {idx.n_docs} docs ({len(idx.buckets)} buckets, "
+          f"{args.n_shards} shards) -> {args.out}")
 
 
 def cmd_rank(args):
@@ -137,16 +137,19 @@ def cmd_rank(args):
     import jax.numpy as jnp
 
     from .core.types import MultiVec
-    from .index.build import MultiVecIndex
-    from .index.serve import l2max_search, gather_doc_reps, ot_rerank
+    from .index.dense import (DenseBucketIndex, make_dense_search,
+                              flatten_device_buckets)
+    from .index.serve import ot_rerank
     from .evaluation.datasets import EvalDataset
 
-    idx = MultiVecIndex.load(args.index)
+    idx = DenseBucketIndex.load(args.index)
     dataset = EvalDataset(args.dataset, args.dataset_dir)
     model = _load_eval_model(args)
-    sents = jnp.asarray(idx.sents)
-    doc_ids = jnp.asarray(idx.doc_ids)
+    dev = idx.device_arrays()
+    flat = flatten_device_buckets(dev)
+    search = make_dense_search(len(dev), k=args.k)
     pool = dataset.get_test_pool(facet=args.facet)
+    qmax = 32
     ranked = {}
     for qpid in pool:
         q_enc = model.encode([dataset.get(qpid)])[0]
@@ -155,17 +158,18 @@ def cmd_rank(args):
             # facet participate (rank_pool_sentfaceted, pp_gen_nearest.py:988)
             q_enc = model.get_faceted_encoding(q_enc, args.facet,
                                                dataset.get(qpid))
-        scores, docs = l2max_search(jnp.asarray(q_enc), jnp.int32(len(q_enc)),
-                                    sents, doc_ids, idx.n_docs, args.k)
+        q_len = min(len(q_enc), qmax)
+        q_pad = np.zeros((qmax, q_enc.shape[-1]), np.float32)
+        q_pad[:q_len] = q_enc[:q_len]
+        scores, docs = search(jnp.asarray(q_pad), jnp.int32(q_len), *flat)
         docs_np = np.asarray(docs)
         if args.rerank == "ot":
-            cands = gather_doc_reps(idx, docs_np, max_sents=args.max_sents)
-            q = MultiVec(embed=jnp.asarray(q_enc)[None], lens=jnp.asarray([len(q_enc)]))
-            # pad query to cands smax
-            sims = np.asarray(ot_rerank(
-                MultiVec(embed=jnp.zeros((1, cands.embed.shape[1], q_enc.shape[-1])
-                                         ).at[0, :len(q_enc)].set(q_enc),
-                         lens=jnp.asarray([len(q_enc)])), cands, temp=args.ot_temp))
+            cands = idx.gather_doc_reps(docs_np, max_sents=args.max_sents)
+            q = MultiVec(
+                embed=jnp.zeros((1, cands.embed.shape[1], q_enc.shape[-1]),
+                                jnp.float32).at[0, :q_len].set(q_pad[:q_len]),
+                lens=jnp.asarray([q_len]))
+            sims = np.asarray(ot_rerank(q, cands, temp=args.ot_temp))
             order = np.argsort(-sims)
             ranked[qpid] = [[idx.pids[docs_np[i]], float(sims[i])] for i in order]
         else:

@@ -78,7 +78,8 @@ def main():
 
     q = MultiVec(embed=sents[:1], lens=jnp.asarray(fb.abs_lens[:1]))
     c = MultiVec(embed=sents[1:], lens=jnp.asarray(fb.abs_lens[1:]))
-    sims, pair_sims = l2max_dist(q, c, return_pair_sims=True)
+    score = jax.jit(lambda q, c: l2max_dist(q, c, return_pair_sims=True))
+    sims, pair_sims = score(q, c)
     print("tsAspire similarity:", float(sims[0]))
     ql, cl = int(fb.abs_lens[0]), int(fb.abs_lens[1])
     best = np.unravel_index(np.asarray(pair_sims)[0, :ql, :cl].argmax(), (ql, cl))

@@ -57,8 +57,10 @@ def main():
 
     q = MultiVec(embed=sents[:1], lens=jnp.asarray(fb.abs_lens[:1]))
     c = MultiVec(embed=sents[1:], lens=jnp.asarray(fb.abs_lens[1:]))
-    sims, (a, b, pair_sims, plan, masked) = wasserstein_dist(
-        q, c, temp=5000.0, return_pair_sims=True)
+    # jit: eager op dispatch is very slow on tunneled TPU backends
+    score = jax.jit(lambda q, c: wasserstein_dist(q, c, temp=5000.0,
+                                                  return_pair_sims=True))
+    sims, (a, b, pair_sims, plan, masked) = score(q, c)
     ql, cl = int(fb.abs_lens[0]), int(fb.abs_lens[1])
     print("otAspire similarity:", float(sims[0]))
     print("transport plan (query sents x cand sents):")

@@ -1,0 +1,77 @@
+"""CLI build-index + rank end-to-end (subprocess)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+ENV = {**os.environ, "JAX_PLATFORMS": "cpu",
+       "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+
+
+def run_cli(args, cwd):
+    code = ("import jax; jax.config.update('jax_platforms','cpu');"
+            "from aspire_tpu.cli import main; main(%r)" % (args,))
+    return subprocess.run([sys.executable, "-c", code], cwd=cwd, env=ENV,
+                          capture_output=True, text=True, timeout=900)
+
+
+def test_build_index_and_rank(tmp_path, rng):
+    vocab_dir = tmp_path / "vb"
+    vocab_dir.mkdir()
+    (vocab_dir / "vocab.txt").write_text(
+        "\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "title"] + WORDS))
+    (vocab_dir / "tokenizer_config.json").write_text(
+        json.dumps({"tokenizer_class": "BertTokenizer", "do_lower_case": True}))
+
+    # train a tiny model first (produces run_dir with bert_config recorded)
+    def doc():
+        return {"TITLE": "title", "ABSTRACT": [
+            " ".join(rng.choice(WORDS, 4)) for _ in range(int(rng.integers(1, 4)))]}
+    with open(tmp_path / "train.jsonl", "w") as f:
+        for _ in range(16):
+            f.write(json.dumps({"query": doc(), "pos_context": doc()}) + "\n")
+    cfg = {"model_name": "miswordbienc", "score_aggregation": "l2max",
+           "train_size": 16, "batch_size": 8, "accumulated_batch_size": -1,
+           "num_epochs": 1, "learning_rate": 1e-4, "num_warmup_steps": 2,
+           "lr_decay_method": "warmuplin", "es_check_every": 100,
+           "max_sents": 4, "update_rule": "adam", "decay_lr_every": 1,
+           "base-pt-layer": str(vocab_dir)}
+    (tmp_path / "cfg.json").write_text(json.dumps(cfg))
+    r = run_cli(["train", "--config", str(tmp_path / "cfg.json"),
+                 "--train", str(tmp_path / "train.jsonl"),
+                 "--out", str(tmp_path / "run"), "--tokenizer", str(vocab_dir),
+                 "--tiny", "--seq-len", "32"], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # corpus + dataset (queries present in corpus as near-copies)
+    from tests_evalds import make_eval_dataset
+    papers, anns = make_eval_dataset(tmp_path, rng, WORDS)
+    with open(tmp_path / "corpus.jsonl", "w") as f:
+        for pid, p in papers.items():
+            if not pid.startswith("q") or "c" in pid:  # candidates only
+                f.write(json.dumps({"paper_id": pid, **p}) + "\n")
+
+    r2 = run_cli(["build-index", "--corpus", str(tmp_path / "corpus.jsonl"),
+                  "--run-dir", str(tmp_path / "run"),
+                  "--tokenizer", str(vocab_dir),
+                  "--out", str(tmp_path / "idx")], cwd=str(tmp_path))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert (tmp_path / "idx" / "meta.json").exists()
+
+    r3 = run_cli(["rank", "--index", str(tmp_path / "idx"),
+                  "--dataset", "toy", "--dataset-dir", str(tmp_path),
+                  "--model", "miswordbienc", "--run-dir", str(tmp_path / "run"),
+                  "--tokenizer", str(vocab_dir),
+                  "--out", str(tmp_path / "ranked"), "--k", "8",
+                  "--rerank", "ot"], cwd=str(tmp_path))
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    fname = tmp_path / "ranked" / "test-pid2pool-toy-miswordbienc-ranked.json"
+    ranked = json.loads(fname.read_text())
+    # near-copy candidates (q{i}c0, q{i}c1) must rank at the top
+    for qpid, cands in ranked.items():
+        top2 = {c for c, _ in cands[:2]}
+        assert top2 == {f"{qpid}c0", f"{qpid}c1"}, (qpid, cands[:4])
