@@ -32,6 +32,8 @@ def pairwise_l2(q: jax.Array, c: jax.Array, squared: bool = False) -> jax.Array:
         return d2
     # Safe sqrt: d(sqrt)/dx at 0 is inf, which poisons gradients at coincident
     # points (e.g. zero-padded sentence slots).  Double-where keeps the zero
-    # and selects a zero subgradient there.
+    # and selects a zero subgradient there.  `d2 * 0` (not literal 0) in the
+    # else-branch preserves NaN/inf so poisoned activations stay visible to
+    # the trainer's non-finite-loss guard.
     positive = d2 > 0
-    return jnp.where(positive, jnp.sqrt(jnp.where(positive, d2, 1.0)), 0.0)
+    return jnp.where(positive, jnp.sqrt(jnp.where(positive, d2, 1.0)), d2 * 0.0)

@@ -141,6 +141,12 @@ class Trainer:
             keys = jax.random.split(rng, n_micro)
             (grads, loss_sum), losses = jax.lax.scan(
                 micro, (zero_grads, 0.0), (superbatch, keys))
+            # failure detection: suppress the update when any micro loss is
+            # non-finite (a guard the reference lacks, SURVEY.md aux #3);
+            # zeroing the grads keeps optimizer-state updates benign too.
+            ok = jnp.isfinite(loss_sum)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
             updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_state = TrainState(step=state.step + 1, params=new_params,
@@ -183,6 +189,11 @@ class Trainer:
             state, losses = self._train_step(state, sb, step_rng)
             n_micro = int(np.shape(losses)[0])
             n_steps += 1
+            lvals_chk = np.asarray(losses)
+            if not np.isfinite(lvals_chk).all():
+                # the jitted step already suppressed the poisoned update
+                log.warning("non-finite loss %s at step %d; update skipped",
+                            lvals_chk, n_steps)
             prev_iter = micro_iter
             micro_iter += n_micro
             if n_steps % 5 == 0 or n_steps == 1:
@@ -230,6 +241,36 @@ class Trainer:
         path = (self.model_path / f"model_{suffix}").absolute()
         ckptr = ocp.StandardCheckpointer()
         return ckptr.restore(path)
+
+    def save_full_state(self, state: TrainState, suffix: str = "resume") -> None:
+        """Full training state (params + optimizer + step) for elastic
+        resume -- capability the reference lacks (SURVEY.md aux #3/4: no
+        resume-from-checkpoint of optimizer state)."""
+        import orbax.checkpoint as ocp
+
+        path = (self.model_path / f"state_{suffix}").absolute()
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.device_get({
+            "step": state.step, "params": state.params,
+            "opt_state": state.opt_state}), force=True)
+        ckptr.wait_until_finished()
+        self.cfg.to_run_info(self.model_path / "run_info.json")
+
+    def restore_full_state(self, suffix: str = "resume") -> TrainState:
+        import orbax.checkpoint as ocp
+
+        path = (self.model_path / f"state_{suffix}").absolute()
+        raw = ocp.StandardCheckpointer().restore(path)
+        params = replicate(raw["params"], self.mesh)
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x), raw["opt_state"])
+        # restore onto the optimizer's pytree structure
+        ref_opt = self.optimizer.init(params)
+        opt_state = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(ref_opt),
+            jax.tree_util.tree_leaves(opt_state))
+        return TrainState(step=jnp.asarray(raw["step"], jnp.int32),
+                          params=params, opt_state=opt_state)
 
     def plot_history(self) -> None:
         """Loss/dev-score curves (reference data_utils.plot_train_hist)."""
