@@ -30,7 +30,7 @@ TARGET = 10_000.0  # pair-scorings/sec/chip (BASELINE.md)
 
 
 def main():
-    batch = 256          # candidate pairs scored per call
+    batch = 1024         # candidate pairs scored per call (throughput peak)
     smax, d = 20, 768
     key = jax.random.key(0)
     kq, kc, kl1, kl2 = jax.random.split(key, 4)
