@@ -18,6 +18,25 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(**kwargs) -> None:
+    """Multi-host bring-up: call once per process before any device use.
+
+    Thin wrapper over `jax.distributed.initialize` (coordinator address etc.
+    via kwargs or TPU metadata).  After this, `make_mesh(devices=
+    jax.devices())` spans all hosts; the same pjit programs run over
+    DCN-connected slices unchanged -- no NCCL-style process-group plumbing.
+    """
+    jax.distributed.initialize(**kwargs)
+
+
+def make_train_serve_mesh(n_data: int, n_shards: int, devices=None) -> Mesh:
+    """2-D mesh ('data', 'shard') for colocated training + serving jobs."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert len(devices) >= n_data * n_shards
+    arr = np.asarray(devices[: n_data * n_shards]).reshape(n_data, n_shards)
+    return Mesh(arr, ("data", "shard"))
+
+
 def make_mesh(n_data: int | None = None, devices=None) -> Mesh:
     """1-D data-parallel mesh over the first `n_data` devices (default all)."""
     devices = list(devices if devices is not None else jax.devices())

@@ -110,6 +110,13 @@ class Trainer:
         self.dev_score_history: list[float] = []
         self.dev_checked_iters: list[int] = []
         self.time_per_batch = 0.0
+        # jsonl metrics stream (replaces the reference's optional comet.ml
+        # logging, ranking_eval.py:514-529, with a dependency-free sink)
+        self._metrics_file = open(self.model_path / "metrics.jsonl", "a")
+
+    def log_metric(self, **kv) -> None:
+        self._metrics_file.write(json.dumps(kv) + "\n")
+        self._metrics_file.flush()
 
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array) -> TrainState:
@@ -203,11 +210,14 @@ class Trainer:
                 log.info("iter %d/%d loss %.4f", micro_iter,
                          tp.num_epochs * max(1, tp.train_size // max(1, tp.batch_size)),
                          float(lvals.mean()))
+                self.log_metric(kind="train_loss", iter=micro_iter,
+                                loss=float(lvals.mean()))
             if (self.early_stop and dev_batches_fn is not None
                     and micro_iter // tp.es_check_every > prev_iter // tp.es_check_every):
                 score = self.dev_score(state, dev_batches_fn())
                 self.dev_score_history.append(score)
                 self.dev_checked_iters.append(micro_iter)
+                self.log_metric(kind="dev_score", iter=micro_iter, score=score)
                 if score > best_score:
                     best_score = score
                     self.save_checkpoint(state, "cur_best")
