@@ -229,3 +229,48 @@ def flatten_device_buckets(device_buckets: list[dict]) -> list:
     for b in device_buckets:
         flat.extend([b["sents"], b["norms"], b["doc_idx"]])
     return flat
+
+
+def _bucket_topk_batched(q, q_norms, q_lens, bucket, k: int):
+    """q: [B, Qmax, d]; -> (scores [B, k], doc idx [B, k]) for one bucket."""
+    sents, norms, doc_idx = bucket["sents"], bucket["norms"], bucket["doc_idx"]
+    bq, qmax, d = q.shape
+    sims = jnp.einsum("bqd,nsd->bnsq", q, sents,
+                      preferred_element_type=jnp.float32)
+    qmask = (jnp.arange(qmax, dtype=jnp.int32)[None, :] < q_lens[:, None])
+    scores4 = 2.0 * sims - norms[None, :, :, None] - q_norms[:, None, None, :]
+    scores4 = jnp.where(qmask[:, None, None, :], scores4, NEG)
+    score = jnp.max(scores4, axis=(2, 3))                      # [B, n]
+    score = jnp.where(doc_idx[None, :] >= 0, score, NEG)
+    kk = min(k, score.shape[1])
+    v, i = jax.lax.top_k(score, kk)
+    return v, doc_idx[i]
+
+
+def make_dense_search_batched(n_buckets: int, k: int):
+    """Batched-query variant (single device): amortizes the corpus read over
+    a whole query batch -- the production serving shape.
+
+    Returns fn(q [B, Qmax, d], q_lens [B] i32, *bucket_arrays)
+      -> (scores [B, k], doc_idx [B, k]).
+    """
+
+    @jax.jit
+    def search(q, q_lens, *flat):
+        buckets = [{"sents": flat[3 * i], "norms": flat[3 * i + 1],
+                    "doc_idx": flat[3 * i + 2]} for i in range(n_buckets)]
+        qf = q.astype(jnp.float32)
+        q_norms = jnp.sum(qf * qf, axis=2)
+        vs, ds = [], []
+        for b in buckets:
+            v, dd = _bucket_topk_batched(q.astype(b["sents"].dtype), q_norms,
+                                         q_lens, b, k)
+            vs.append(v)
+            ds.append(dd)
+        v = jnp.concatenate(vs, axis=1)
+        dd = jnp.concatenate(ds, axis=1)
+        vk, ik = jax.lax.top_k(v, k)
+        return (-jnp.sqrt(jnp.maximum(-vk, 0.0)),
+                jnp.take_along_axis(dd, ik, axis=1))
+
+    return search
