@@ -16,7 +16,6 @@ import argparse
 import json
 import logging
 import os
-import sys
 
 
 def _setup_logging(args):

@@ -24,7 +24,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import pathlib
-from functools import partial
 
 import numpy as np
 

@@ -7,7 +7,7 @@ FeedForwardNet (:18-68), GatedAttention (:83-114), StraightThroughEstimator
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

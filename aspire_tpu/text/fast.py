@@ -7,7 +7,6 @@ RuntimeError and use the HF tokenizer path in text/tokenize.py.
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import subprocess
 

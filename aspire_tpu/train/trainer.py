@@ -32,7 +32,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core.config import RunConfig
 from ..parallel.mesh import make_mesh, shard_batch, replicate
