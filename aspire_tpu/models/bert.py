@@ -21,6 +21,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -72,39 +73,69 @@ class BertEmbeddings(nn.Module):
 
 
 class BertSelfAttention(nn.Module):
+    """Self-attention with two backends:
+
+    * 'naive': materialized [b, h, t, t] scores + attention-prob dropout
+      (exact HF semantics).  The fused dropout blows the 16 MB VMEM scope at
+      t=512 on v5e -- hence:
+    * 'flash': pallas flash_attention with segment-id padding masks; never
+      materializes the score matrix.  NOTE: no attention-prob dropout on this
+      path (hidden dropout remains) -- a documented training-regularization
+      deviation; inference is equivalent to ~1e-3.
+    * 'auto' (default): flash for seq_len >= 512, naive otherwise.
+    """
+
     config: BertConfig
     dtype: Any = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, attn_bias, deterministic=True):
+    def __call__(self, x, attn_bias, attention_mask, deterministic=True):
         cfg = self.config
         h, nh = cfg.hidden_size, cfg.num_attention_heads
         hd = h // nh
+        t = x.shape[1]
+        use_flash = (self.attention_impl == "flash" or
+                     (self.attention_impl == "auto" and t >= 512))
         dense = lambda name: nn.Dense(h, dtype=self.dtype, param_dtype=jnp.float32, name=name)
         q = dense("query")(x).reshape(*x.shape[:2], nh, hd)
         k = dense("key")(x).reshape(*x.shape[:2], nh, hd)
         v = dense("value")(x).reshape(*x.shape[:2], nh, hd)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.float32(hd))
-        scores = scores + attn_bias  # [b, 1, 1, k] additive
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
-            probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                         preferred_element_type=jnp.float32)
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention, SegmentIds)
+            seg = jnp.where(attention_mask > 0, 0, 1).astype(jnp.int32)
+            ctx = flash_attention(
+                jnp.transpose(q, (0, 2, 1, 3)),
+                jnp.transpose(k, (0, 2, 1, 3)),
+                jnp.transpose(v, (0, 2, 1, 3)),
+                segment_ids=SegmentIds(q=seg, kv=seg),
+                causal=False, sm_scale=float(1.0 / np.sqrt(hd)))
+            ctx = jnp.transpose(ctx, (0, 2, 1, 3))
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / jnp.sqrt(jnp.float32(hd))
+            scores = scores + attn_bias  # [b, 1, 1, k] additive
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
+                probs, deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                             preferred_element_type=jnp.float32)
         return ctx.reshape(*x.shape[:2], h).astype(self.dtype)
 
 
 class BertLayer(nn.Module):
     config: BertConfig
     dtype: Any = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, attn_bias, deterministic=True):
+    def __call__(self, x, attn_bias, attention_mask, deterministic=True):
         cfg = self.config
-        attn_out = BertSelfAttention(cfg, self.dtype, name="attention_self")(
-            x, attn_bias, deterministic)
+        attn_out = BertSelfAttention(cfg, self.dtype, self.attention_impl,
+                                     name="attention_self")(
+            x, attn_bias, attention_mask, deterministic)
         attn_out = nn.Dense(cfg.hidden_size, dtype=self.dtype,
                             param_dtype=jnp.float32, name="attention_output_dense")(attn_out)
         attn_out = nn.Dropout(cfg.hidden_dropout_prob)(attn_out, deterministic=deterministic)
@@ -130,6 +161,7 @@ class BertModel(nn.Module):
 
     config: BertConfig
     dtype: Any = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None,
@@ -143,7 +175,8 @@ class BertModel(nn.Module):
                               ).astype(jnp.float32)
         hidden_states = [x.astype(jnp.float32)]
         for i in range(cfg.num_hidden_layers):
-            x = BertLayer(cfg, self.dtype, name=f"layer_{i}")(
-                x, attn_bias, deterministic)
+            x = BertLayer(cfg, self.dtype, self.attention_impl,
+                          name=f"layer_{i}")(
+                x, attn_bias, attention_mask, deterministic)
             hidden_states.append(x.astype(jnp.float32))
         return hidden_states[-1], tuple(hidden_states)
