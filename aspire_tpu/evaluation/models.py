@@ -235,12 +235,24 @@ class AspireSimilarityModel(SimilarityModel):
             lens[i] = n
         return MultiVec(embed=jnp.asarray(out), lens=jnp.asarray(lens))
 
+    # chunk deep candidate pools (TRECCOVID-RF pools reach thousands) so one
+    # call never materializes a [pool, smax, d] monolith; rounding the chunk
+    # to fixed sizes keeps recompiles bounded.
+    SCORE_CHUNK = 1024
+
     def get_similarities(self, query_enc, cand_encs: list) -> np.ndarray:
         smax = max(len(query_enc), max(len(c) for c in cand_encs))
         smax = max(smax, 2)
-        q = self._pack([query_enc] * len(cand_encs), smax)
-        c = self._pack(list(cand_encs), smax)
-        return np.asarray(self._pair_scores_jit(q, c))
+        out = np.empty((len(cand_encs),), np.float32)
+        for start in range(0, len(cand_encs), self.SCORE_CHUNK):
+            chunk = list(cand_encs[start:start + self.SCORE_CHUNK])
+            n = len(chunk)
+            if n < self.SCORE_CHUNK:  # pad to a fixed shape (single compile)
+                chunk = chunk + [chunk[-1]] * (self.SCORE_CHUNK - n)
+            q = self._pack([query_enc] * len(chunk), smax)
+            c = self._pack(chunk, smax)
+            out[start:start + n] = np.asarray(self._pair_scores_jit(q, c))[:n]
+        return out
 
     def get_similarity(self, x, y) -> float:
         return float(self.get_similarities(np.asarray(x), [np.asarray(y)])[0])

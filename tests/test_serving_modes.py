@@ -1,0 +1,75 @@
+"""Fast-OT ranking equivalence, deep-pool chunking, NER eval model."""
+import json
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aspire_tpu.core.types import MultiVec
+from aspire_tpu.index.serve import ot_rerank
+from aspire_tpu.models.bert import BertConfig
+from aspire_tpu.models.encoders import ConSentEncoder
+from aspire_tpu.evaluation.models import (
+    AspireSimilarityModel, AspireNERSimilarityModel)
+
+
+def test_fast_ot_preserves_ranking(rng):
+    k, s, d = 24, 10, 32
+    q = MultiVec(embed=jnp.asarray(rng.normal(size=(1, s, d)).astype(np.float32)),
+                 lens=jnp.asarray([8]))
+    cands = MultiVec(embed=jnp.asarray(rng.normal(size=(k, s, d)).astype(np.float32)),
+                     lens=jnp.asarray(rng.integers(2, s + 1, k).astype(np.int32)))
+    parity = np.asarray(ot_rerank(q, cands, temp=5000.0))
+    fast = np.asarray(ot_rerank(q, cands, temp=5000.0, scaling=0.8, max_iters=64))
+    # random candidates are near-ties, so deep ranks may swap; require the
+    # top-2 exact, top-5 as a set, and near-perfect score correlation
+    order_p = np.argsort(-parity)
+    order_f = np.argsort(-fast)
+    np.testing.assert_array_equal(order_p[:2], order_f[:2])
+    assert len(set(order_p[:5]) & set(order_f[:5])) >= 4
+    cc = np.corrcoef(parity, fast)[0, 1]
+    assert cc > 0.999, cc
+
+
+@pytest.fixture
+def tiny_model(tmp_path, rng):
+    from transformers import BertTokenizer
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "title",
+             "alpha", "beta", "gamma", "delta"]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    tok = BertTokenizer(str(tmp_path / "vocab.txt"))
+    cfg = BertConfig.tiny()
+    params = ConSentEncoder(cfg, max_sents=6).init(
+        jax.random.key(0), *(np.zeros((1, 8), np.int32),) * 3)["params"]
+    return cfg, params, tok
+
+
+def test_deep_pool_chunking(tiny_model, rng, monkeypatch):
+    cfg, params, tok = tiny_model
+    m = AspireSimilarityModel(name="m", bert_config=cfg, params=params,
+                              tokenizer=tok, agg="l2max", max_sents=6)
+    monkeypatch.setattr(AspireSimilarityModel, "SCORE_CHUNK", 16)
+    q = rng.normal(size=(4, cfg.hidden_size)).astype(np.float32)
+    cands = [rng.normal(size=(int(rng.integers(1, 6)), cfg.hidden_size)).astype(np.float32)
+             for _ in range(41)]  # 2 full chunks + remainder
+    sims = m.get_similarities(q, cands)
+    assert sims.shape == (41,)
+    # chunked result equals single per-pair scoring
+    singles = np.asarray([m.get_similarity(q, c) for c in cands])
+    np.testing.assert_allclose(sims, singles, rtol=1e-4, atol=1e-4)
+
+
+def test_ner_model_appends_entities(tiny_model):
+    cfg, params, tok = tiny_model
+    m = AspireNERSimilarityModel(name="m", bert_config=cfg, params=params,
+                                 tokenizer=tok, agg="l2max", max_sents=6,
+                                 encoding_type="sentence-entity")
+    paper = {"TITLE": "title", "ABSTRACT": ["alpha beta", "gamma delta"],
+             "ENTITIES": [["alpha"], ["delta", "gamma"]]}
+    encs = m.encode([paper])
+    # 2 sentences + 3 entity pseudo-sentences
+    assert encs[0].shape[0] == 5
+    plain = AspireSimilarityModel(name="p", bert_config=cfg, params=params,
+                                  tokenizer=tok, agg="l2max", max_sents=6)
+    encs_plain = plain.encode([paper])
+    assert encs_plain[0].shape[0] == 2
