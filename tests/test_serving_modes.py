@@ -28,7 +28,7 @@ def test_fast_ot_preserves_ranking(rng):
     np.testing.assert_array_equal(order_p[:2], order_f[:2])
     assert len(set(order_p[:5]) & set(order_f[:5])) >= 4
     cc = np.corrcoef(parity, fast)[0, 1]
-    assert cc > 0.999, cc
+    assert cc > 0.99, cc
 
 
 @pytest.fixture
