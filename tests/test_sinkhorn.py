@@ -102,6 +102,36 @@ def test_wasserstein_train_grad_flows(rng):
     assert np.abs(np.asarray(g)).max() > 0.0
 
 
+def test_annealed_matches_converged_fixed_eps(rng):
+    """Second independent oracle: plain (non-annealed) log-domain Sinkhorn at
+    eps=blur iterated to convergence in float64.  Annealing is only an
+    accelerator -- the final potentials must induce the same entropic OT cost
+    (potentials are unique up to +c/-c, which cancels in the cost)."""
+    a, x, b, y = rand_cloud(rng, n=6, m=7, d=4)
+    cost = np_cdist(x.astype(np.float64), y.astype(np.float64))
+    blur = 0.05
+    log_a = np.log(a.astype(np.float64))
+    log_b = np.log(b.astype(np.float64))
+
+    def softmin(eps, C, h):
+        v = h[None, :] - C / eps
+        vmax = v.max(axis=1, keepdims=True)
+        return -eps * (np.log(np.exp(v - vmax).sum(axis=1)) + vmax[:, 0])
+
+    f = np.zeros(len(a))
+    g = np.zeros(len(b))
+    for _ in range(5000):  # plain alternating updates at fixed eps
+        f = softmin(blur, cost, log_b + g / blur)
+        g = softmin(blur, cost.T, log_a + f / blur)
+    cost_fixed = float(np.sum(a * f) + np.sum(b * g))
+
+    f_j, g_j = sinkhorn_potentials(a[None], x[None], b[None], y[None], blur=blur)
+    cost_annealed = float(np.asarray(
+        sinkhorn_cost(jnp.asarray(a[None]), f_j, jnp.asarray(b[None]), g_j,
+                      blur=blur))[0])
+    np.testing.assert_allclose(cost_annealed, cost_fixed, rtol=2e-3, atol=2e-3)
+
+
 def test_sinkhorn_jit_and_vmap_consistency(rng):
     # batch solve == per-example solve (identical diameters via same cloud box)
     a, x, b, y = rand_cloud(rng, n=6, m=6, d=4)
