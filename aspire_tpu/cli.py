@@ -42,7 +42,15 @@ def cmd_train(args):
     import dataclasses
 
     cfg = RunConfig.from_json(args.config)
-    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer or cfg.model.base_pt_layer)
+    tok_src = args.tokenizer or cfg.model.base_pt_layer
+    tokenizer = AutoTokenizer.from_pretrained(tok_src)
+    if args.fast_tokenizer:
+        # native WordPiece (~80x the Python tokenizer; exact ids on ASCII)
+        from .text.fast import FastWordPiece
+        vocab_file = os.path.join(tok_src, "vocab.txt")
+        fast = FastWordPiece(vocab_file)
+        fast.pad_token_id = tokenizer.pad_token_id
+        tokenizer = fast
     bert_config = BertConfig()  # full-size; tiny override for smoke tests
     if args.tiny:
         bert_config = BertConfig.tiny(vocab_size=tokenizer.vocab_size)
@@ -203,6 +211,8 @@ def build_parser():
     t.add_argument("--num-devices", type=int, default=None)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--tiny", action="store_true", help="tiny BERT (smoke test)")
+    t.add_argument("--fast-tokenizer", action="store_true",
+                   help="use the native C++ WordPiece tokenizer")
     t.add_argument("--log_fname")
     t.set_defaults(fn=cmd_train)
 
