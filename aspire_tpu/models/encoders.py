@@ -51,11 +51,13 @@ class ConSentEncoder(nn.Module):
     config: BertConfig
     max_sents: int = 24
     dtype: Any = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, token_ids, attn_mask, sent_ids, token_type_ids=None,
                  deterministic: bool = True):
-        last, _ = BertModel(self.config, self.dtype, name="bert")(
+        last, _ = BertModel(self.config, self.dtype, self.attention_impl,
+                            name="bert")(
             token_ids, attn_mask, token_type_ids, deterministic)
         doc_cls = last[:, 0, :]
         sent_reps = sentence_pool(last, sent_ids, self.max_sents)
@@ -71,11 +73,13 @@ class BiEncoder(nn.Module):
 
     config: BertConfig
     dtype: Any = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, token_ids, attn_mask, token_type_ids=None,
                  deterministic: bool = True):
-        _, hidden_states = BertModel(self.config, self.dtype, name="bert")(
+        _, hidden_states = BertModel(self.config, self.dtype,
+                                     self.attention_impl, name="bert")(
             token_ids, attn_mask, token_type_ids, deterministic)
         n_layers = len(hidden_states)
         w = self.param("layer_weights", nn.initializers.zeros, (n_layers,), jnp.float32)

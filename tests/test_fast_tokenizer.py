@@ -75,3 +75,19 @@ def test_speed_smoke(fast, hf):
     t_hf = time.perf_counter() - t0
     # should be much faster than the Python tokenizer
     assert t_fast < t_hf, (t_fast, t_hf)
+
+
+def test_prepare_abstracts_with_fast_tokenizer(hf, fast):
+    """The featurizer must produce identical arrays through either tokenizer."""
+    from aspire_tpu.text.tokenize import prepare_abstracts
+    batch = [
+        {"TITLE": "the model", "ABSTRACT": ["we propose a new method.",
+                                            "using optimal transport (1)."]},
+        {"TITLE": "title", "ABSTRACT": ["embeddings and supervision [2]."]},
+    ]
+    fb_hf = prepare_abstracts(batch, hf, max_sents=4, pad_multiple=16)
+    fb_fast = prepare_abstracts(batch, fast, max_sents=4, pad_multiple=16)
+    np.testing.assert_array_equal(fb_hf.token_ids, fb_fast.token_ids)
+    np.testing.assert_array_equal(fb_hf.sent_ids, fb_fast.sent_ids)
+    np.testing.assert_array_equal(fb_hf.abs_lens, fb_fast.abs_lens)
+    np.testing.assert_array_equal(fb_hf.attn_mask, fb_fast.attn_mask)
