@@ -132,7 +132,8 @@ def cmd_build_index(args):
     reps = []
     for i in range(0, len(corpus), args.batch_size):
         reps.extend(model.encode(corpus[i:i + args.batch_size]))
-    dtype = __import__("ml_dtypes").bfloat16 if args.bf16 else np.float32
+    import ml_dtypes
+    dtype = ml_dtypes.bfloat16 if args.bf16 else np.float32
     idx = build_dense_index(reps, pids, n_shards=args.n_shards, dtype=dtype)
     idx.save(args.out)
     print(f"indexed {idx.n_docs} docs ({len(idx.buckets)} buckets, "

@@ -133,8 +133,6 @@ def encode_corpus(model, params, corpus: list[dict], tokenizer,
     Returns (per-doc [num_sents, dim] float32 arrays, [n_docs, dim] CLS reps).
     Batches are fixed-shape so the encoder compiles once.
     """
-    from functools import partial
-
     from ..text.tokenize import prepare_abstracts
 
     @jax.jit

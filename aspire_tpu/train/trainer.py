@@ -229,6 +229,7 @@ class Trainer:
             # no dev checks ran; final is also the best
             self.save_checkpoint(state, "cur_best")
         self.plot_history()
+        self._metrics_file.flush()
         return state
 
     # ------------------------------------------------------------------
