@@ -192,6 +192,28 @@ def cmd_rank(args):
     print(f"ranked {len(ranked)} queries -> {fname}")
 
 
+def cmd_compare(args):
+    """Welch t-test between two methods' per-query metrics
+    (ranking_eval.py:611-713 significance protocol)."""
+    import pandas as pd
+    from .evaluation.protocols import significance_test
+
+    def load(path):
+        df = pd.read_csv(path)
+        return {row["paper_id"]: row.to_dict() for _, row in df.iterrows()}
+
+    qa, qb = load(args.results_a), load(args.results_b)
+    t, p, sig = significance_test(qa, qb, metric=args.metric,
+                                  n_comparisons=args.n_comparisons)
+    print(json.dumps({"metric": args.metric, "t": round(t, 4),
+                      "p": round(p, 6),
+                      "significant_bonferroni_0.05": sig,
+                      "mean_a": round(float(pd.Series(
+                          [v[args.metric] for v in qa.values()]).mean()), 4),
+                      "mean_b": round(float(pd.Series(
+                          [v[args.metric] for v in qb.values()]).mean()), 4)}))
+
+
 def cmd_preprocess(args):
     from .data import preprocess as pp
     pp.main(args)
@@ -259,6 +281,15 @@ def build_parser():
     r.add_argument("--tokenizer")
     r.add_argument("--log_fname")
     r.set_defaults(fn=cmd_rank)
+
+    c = sub.add_parser("compare", help="significance test between two runs")
+    c.add_argument("--results-a", required=True,
+                   help="query-evaluations.csv of method A")
+    c.add_argument("--results-b", required=True)
+    c.add_argument("--metric", default="av_precision")
+    c.add_argument("--n-comparisons", type=int, default=1)
+    c.add_argument("--log_fname")
+    c.set_defaults(fn=cmd_compare)
 
     pp = sub.add_parser("preprocess", help="dataset preparation pipelines")
     pp.add_argument("action", choices=["cocit-examples", "relish", "treccovid",

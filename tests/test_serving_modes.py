@@ -73,3 +73,21 @@ def test_ner_model_appends_entities(tiny_model):
                                   tokenizer=tok, agg="l2max", max_sents=6)
     encs_plain = plain.encode([paper])
     assert encs_plain[0].shape[0] == 2
+
+
+def test_unbalanced_sinkhorn_reach(rng):
+    """reach (unbalanced OT) produces finite potentials/cost differing from
+    the balanced solve (pair_distances geoml_reach plumbing)."""
+    from aspire_tpu.ops.sinkhorn import sinkhorn_potentials, sinkhorn_cost
+    a = rng.random((2, 5)).astype(np.float32); a /= a.sum(1, keepdims=True)
+    b = rng.random((2, 6)).astype(np.float32); b /= b.sum(1, keepdims=True)
+    x = rng.normal(size=(2, 5, 8)).astype(np.float32)
+    y = rng.normal(size=(2, 6, 8)).astype(np.float32)
+    fb, gb_ = sinkhorn_potentials(a, x, b, y)
+    cost_bal = np.asarray(sinkhorn_cost(jnp.asarray(a), fb, jnp.asarray(b), gb_))
+    fu, gu = sinkhorn_potentials(a, x, b, y, reach=1.0)
+    cost_unb = np.asarray(sinkhorn_cost(jnp.asarray(a), fu, jnp.asarray(b), gu,
+                                        reach=1.0))
+    assert np.isfinite(cost_unb).all()
+    # unbalanced relaxes the marginals -> strictly cheaper transport
+    assert (cost_unb < cost_bal).all(), (cost_unb, cost_bal)
