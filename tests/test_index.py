@@ -117,3 +117,39 @@ def test_bf16_index_ranking_stable(rng):
                           jnp.asarray(idx16.doc_ids), 30, 5)
     # top-1 must agree; deeper ranks may swap under quantization
     assert int(d32[0]) == int(d16[0])
+
+
+def test_encode_corpus_roundtrip(rng, tmp_path):
+    """encode_corpus -> build index -> search finds a planted duplicate."""
+    from transformers import BertTokenizer
+    import jax
+    from aspire_tpu.core.config import ModelHParams
+    from aspire_tpu.models.bert import BertConfig
+    from aspire_tpu.models.doc_models import build_model
+    from aspire_tpu.index.build import encode_corpus
+    from aspire_tpu.index.dense import (build_dense_index, make_dense_search,
+                                        flatten_device_buckets)
+    words = ["alpha", "beta", "gamma", "delta"]
+    (tmp_path / "vocab.txt").write_text(
+        "\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "title"] + words))
+    tok = BertTokenizer(str(tmp_path / "vocab.txt"))
+    hp = ModelHParams(model_name="miswordbienc", score_aggregation="l2max",
+                      max_sents=4)
+    model = build_model(hp, BertConfig.tiny())
+    params = model.init_params(jax.random.key(0))
+    corpus = [{"TITLE": "title", "ABSTRACT": [
+        " ".join(rng.choice(words, 3)) for _ in range(int(rng.integers(1, 4)))]}
+        for _ in range(10)]
+    reps, cls = encode_corpus(model, params, corpus, tok, batch_size=4,
+                              seq_len=32, max_sents=4)
+    assert len(reps) == 10 and cls.shape == (10, 32)
+    idx = build_dense_index(reps, [f"p{i}" for i in range(10)], dtype=np.float32)
+    dev = idx.device_arrays()
+    search = make_dense_search(len(dev), k=3)
+    # query with doc 7's own reps -> doc 7 must be top-1 with score ~0
+    q = np.zeros((8, 32), np.float32)
+    q[: len(reps[7])] = reps[7]
+    scores, docs = search(jnp.asarray(q), jnp.int32(len(reps[7])),
+                          *flatten_device_buckets(dev))
+    assert int(docs[0]) == 7
+    assert abs(float(scores[0])) < 1e-2
