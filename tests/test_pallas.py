@@ -29,3 +29,21 @@ def test_pallas_sinkhorn_matches_xla(rng):
                                np.asarray(f_ref)[:, :-2], rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(g_pl)[:, :-3],
                                np.asarray(g_ref)[:, :-3], rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_pooling_matches_einsum(rng):
+    from aspire_tpu.models.encoders import sentence_pool
+    from aspire_tpu.ops.pallas_pool import sentence_pool_pallas
+    b, t, h, smax = 3, 32, 128, 6
+    hidden = jnp.asarray(rng.normal(size=(b, t, h)).astype(np.float32))
+    sent_ids = np.full((b, t), -1, np.int32)
+    for i in range(b):
+        pos = 2
+        for s in range(smax - 1):
+            n = int(rng.integers(1, 5))
+            sent_ids[i, pos:pos + n] = s
+            pos += n
+    want = np.asarray(sentence_pool(hidden, jnp.asarray(sent_ids), smax))
+    got = np.asarray(sentence_pool_pallas(hidden, jnp.asarray(sent_ids), smax,
+                                          interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
