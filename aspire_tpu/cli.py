@@ -95,7 +95,8 @@ def _load_eval_model(args):
         from transformers import AutoTokenizer
         tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
     return get_model(args.model, trained_model_path=args.run_dir,
-                     weights_dir=args.weights_dir, tokenizer=tokenizer)
+                     weights_dir=args.weights_dir, tokenizer=tokenizer,
+                     batch_size=getattr(args, "batch_size", 8))
 
 
 def cmd_evaluate(args):
@@ -247,6 +248,8 @@ def build_parser():
     e.add_argument("--actions", default="encode,score,evaluate")
     e.add_argument("--facet", help="background|method|result|unfaceted")
     e.add_argument("--cache")
+    e.add_argument("--batch-size", type=int, default=8,
+                   help="encode batch size (raise on TPU; reference used 8)")
     e.add_argument("--run-dir")
     e.add_argument("--weights-dir")
     e.add_argument("--tokenizer")

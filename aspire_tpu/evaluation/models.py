@@ -357,7 +357,8 @@ class ClsNERSimilarityModel(ClsSimilarityModel):
 
 # ----------------------------------------------------------------------
 def get_model(model_name: str, trained_model_path: str | None = None,
-              weights_dir: str | None = None, tokenizer=None) -> SimilarityModel:
+              weights_dir: str | None = None, tokenizer=None,
+              batch_size: int = 8) -> SimilarityModel:
     """Factory keyed by the reference model names (utils/models.py:738-768).
 
     HF-hub-named models need `weights_dir` pointing at a local checkpoint
@@ -366,20 +367,22 @@ def get_model(model_name: str, trained_model_path: str | None = None,
     """
     ot_models = {"aspire_compsci", "aspire_biomed"}
     ner_models = {"aspire_ner_compsci", "aspire_ner_biomed"}
+    kw = {"batch_size": batch_size}
     if model_name in ot_models:
         assert weights_dir, f"{model_name} needs a local weights_dir"
-        return AspireSimilarityModel.from_hf_dir(model_name, weights_dir, agg="ot")
+        return AspireSimilarityModel.from_hf_dir(model_name, weights_dir,
+                                                 agg="ot", **kw)
     if model_name in ner_models:
         assert weights_dir, f"{model_name} needs a local weights_dir"
-        m = AspireNERSimilarityModel.from_hf_dir(model_name, weights_dir, agg="ot")
+        m = AspireNERSimilarityModel.from_hf_dir(model_name, weights_dir, agg="ot", **kw)
         m.encoding_type = "sentence-entity"
         return m
     if model_name in {"specter", "supsimcse", "unsupsimcse"}:
         assert weights_dir, f"{model_name} needs a local weights_dir"
-        return ClsSimilarityModel.from_hf_dir(model_name, weights_dir)
+        return ClsSimilarityModel.from_hf_dir(model_name, weights_dir, **kw)
     if model_name == "specter_ner":
         assert weights_dir, f"{model_name} needs a local weights_dir"
-        m = ClsNERSimilarityModel.from_hf_dir(model_name, weights_dir)
+        m = ClsNERSimilarityModel.from_hf_dir(model_name, weights_dir, **kw)
         return m
     if model_name == "cospecter":
         assert trained_model_path and tokenizer is not None
@@ -389,9 +392,10 @@ def get_model(model_name: str, trained_model_path: str | None = None,
             os.path.abspath(os.path.join(trained_model_path, "model_cur_best")))
         return ClsSimilarityModel(name=model_name, bert_config=BertConfig(),
                                   params=params["bert"], tokenizer=tokenizer,
-                                  layer_mix=np.asarray(params["layer_weights"]))
+                                  layer_mix=np.asarray(params["layer_weights"]),
+                                  **kw)
     if model_name in {"tsaspire", "otaspire", "sbalisentbienc", "miswordbienc"}:
         assert trained_model_path and tokenizer is not None
         return AspireSimilarityModel.from_trained(model_name, trained_model_path,
-                                                  tokenizer)
+                                                  tokenizer, **kw)
     raise ValueError(f"Unknown model: {model_name}")
