@@ -116,3 +116,45 @@ def test_shuffled_stream(tmp_path, rng):
     flat2 = np.concatenate([x.ravel() for x in b2])
     assert sorted(flat1.tolist()) == sorted(flat2.tolist())
     assert not np.array_equal(flat1, flat2)
+
+
+def test_bucketed_stream(tmp_path, rng):
+    from aspire_tpu.data.readers import TripleStream
+    from aspire_tpu.core.config import ModelHParams
+    from transformers import BertTokenizer
+    words = ["a", "b", "c", "d"]
+    (tmp_path / "v2.txt").write_text("\n".join(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "title"] + words))
+    tok = BertTokenizer(str(tmp_path / "v2.txt"))
+    import json as _json
+    with open(tmp_path / "tb.jsonl", "w") as f:
+        for i in range(24):
+            # alternate short and long docs
+            n_words = 4 if i % 2 == 0 else 40
+            d = {"TITLE": "title",
+                 "ABSTRACT": [" ".join(rng.choice(words, n_words))]}
+            f.write(_json.dumps({"query": d, "pos_context": d}) + "\n")
+    hp = ModelHParams(max_sents=4)
+    stream = TripleStream(str(tmp_path / "tb.jsonl"), tok, hp, micro_batch=2,
+                          n_micro=2, seq_buckets=(16, 64))
+    batches = list(stream)
+    seqs = sorted({b["query"]["token_ids"].shape[-1] for b in batches})
+    # both buckets appear; alternating docs put every micro in the long
+    # bucket unless batch composition isolates shorts -- with micro=2 and
+    # alternating lengths every micro mixes -> all long. Re-check: micro_batch
+    # 2 takes examples (0,1) = short+long -> 64. So only 64 appears.
+    assert seqs == [64]
+    # now a sorted-ish file: all shorts first
+    with open(tmp_path / "tb2.jsonl", "w") as f:
+        for i in range(24):
+            n_words = 4 if i < 12 else 40
+            d = {"TITLE": "title",
+                 "ABSTRACT": [" ".join(rng.choice(words, n_words))]}
+            f.write(_json.dumps({"query": d, "pos_context": d}) + "\n")
+    stream2 = TripleStream(str(tmp_path / "tb2.jsonl"), tok, hp, micro_batch=2,
+                           n_micro=2, seq_buckets=(16, 64))
+    batches2 = list(stream2)
+    seqs2 = sorted({b["query"]["token_ids"].shape[-1] for b in batches2})
+    assert seqs2 == [16, 64]
+    # all full superbatches consumed: 24 examples / (2*2) = 6 superbatches
+    assert len(batches2) == 6
