@@ -75,9 +75,13 @@ def cmd_train(args):
     align = None
     if cfg.model.model_name == "sbalisentbienc":
         align = cfg.extra.get("align_type", "cc_align")
+    seq_buckets = (tuple(int(x) for x in args.seq_buckets.split(","))
+                   if args.seq_buckets else None)
     stream = TripleStream(args.train, tokenizer, cfg.model, micro_batch=micro,
                           n_micro=n_micro, seq_len=args.seq_len, align_type=align,
-                          max_examples=cfg.train.train_size or None)
+                          max_examples=cfg.train.train_size or None,
+                          shuffle_seed=args.shuffle_seed,
+                          seq_buckets=seq_buckets)
     devfn = None
     if args.dev:
         devfn = lambda: dev_batches(args.dev, tokenizer, cfg.model, batch_size=micro,
@@ -237,6 +241,10 @@ def build_parser():
     t.add_argument("--tiny", action="store_true", help="tiny BERT (smoke test)")
     t.add_argument("--fast-tokenizer", action="store_true",
                    help="use the native C++ WordPiece tokenizer")
+    t.add_argument("--seq-buckets",
+                   help="comma-separated length buckets, e.g. 192,320,512")
+    t.add_argument("--shuffle-seed", type=int, default=None,
+                   help="per-epoch seeded shuffle of the training stream")
     t.add_argument("--log_fname")
     t.set_defaults(fn=cmd_train)
 
