@@ -57,23 +57,41 @@ class DenseBucketIndex:
     def save(self, path) -> None:
         path = pathlib.Path(path)
         path.mkdir(parents=True, exist_ok=True)
+        # np.save round-trips bfloat16 as an opaque void dtype; store the raw
+        # uint16 view and record the true dtype in meta.json instead.
+        sent_dtype = str(np.dtype(self.buckets[0]["sents"].dtype))
         for i, b in enumerate(self.buckets):
-            np.save(path / f"bucket{i}_sents.npy", b["sents"])
+            sents = b["sents"]
+            if sents.dtype.itemsize == 2 and sents.dtype.kind == "V" or \
+                    "bfloat16" in str(sents.dtype):
+                sents = sents.view(np.uint16)
+            np.save(path / f"bucket{i}_sents.npy", sents)
             np.save(path / f"bucket{i}_norms.npy", b["norms"])
             np.save(path / f"bucket{i}_docidx.npy", b["doc_idx"])
         np.save(path / "doc_lens.npy", self.doc_lens)
         with open(path / "pid2idx.json", "w") as f:
             json.dump({pid: i for i, pid in enumerate(self.pids)}, f)
         with open(path / "meta.json", "w") as f:
-            json.dump({"n_buckets": len(self.buckets)}, f)
+            json.dump({"n_buckets": len(self.buckets),
+                       "sent_dtype": sent_dtype}, f)
 
     @classmethod
     def load(cls, path) -> "DenseBucketIndex":
         path = pathlib.Path(path)
         with open(path / "meta.json") as f:
-            nb = json.load(f)["n_buckets"]
+            meta = json.load(f)
+        nb = meta["n_buckets"]
+        sent_dtype = meta.get("sent_dtype", "float32")
+
+        def load_sents(i):
+            arr = np.load(path / f"bucket{i}_sents.npy")
+            if "bfloat16" in sent_dtype:
+                import ml_dtypes
+                arr = arr.view(ml_dtypes.bfloat16)
+            return arr
+
         buckets = [{
-            "sents": np.load(path / f"bucket{i}_sents.npy"),
+            "sents": load_sents(i),
             "norms": np.load(path / f"bucket{i}_norms.npy"),
             "doc_idx": np.load(path / f"bucket{i}_docidx.npy"),
         } for i in range(nb)]

@@ -74,3 +74,25 @@ def test_truncation_to_largest_bucket(rng):
     idx = build_dense_index(reps, ["p0"], dtype=np.float32)
     assert idx.doc_lens[0] == 24
     assert idx.buckets[-1]["sents"].shape[1] == 24
+
+
+def test_bf16_save_load_roundtrip(rng, tmp_path):
+    import ml_dtypes
+    reps, pids = make_corpus(rng, n_docs=12)
+    idx = build_dense_index(reps, pids, dtype=ml_dtypes.bfloat16)
+    idx.save(tmp_path / "b16")
+    idx2 = DenseBucketIndex.load(tmp_path / "b16")
+    assert idx2.buckets[0]["sents"].dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(
+        idx.buckets[0]["sents"].view(np.uint16),
+        idx2.buckets[0]["sents"].view(np.uint16))
+    # loaded index is searchable
+    import jax.numpy as jnp
+    dev = idx2.device_arrays()
+    search = make_dense_search(len(dev), k=3)
+    qn = min(len(reps[4]), 8)
+    q = np.zeros((8, 16), np.float32)
+    q[:qn] = reps[4][:qn]
+    scores, docs = search(jnp.asarray(q), jnp.int32(qn),
+                          *flatten_device_buckets(dev))
+    assert int(docs[0]) == 4
