@@ -54,16 +54,30 @@ class MultiVecIndex:
     def save(self, path: str | pathlib.Path) -> None:
         path = pathlib.Path(path)
         path.mkdir(parents=True, exist_ok=True)
-        np.save(path / "sents.npy", self.sents)
+        sents = self.sents
+        meta = {"sent_dtype": str(np.dtype(sents.dtype))}
+        if "bfloat16" in meta["sent_dtype"]:
+            # np.save round-trips bfloat16 as an opaque void dtype
+            sents = sents.view(np.uint16)
+        np.save(path / "sents.npy", sents)
         np.save(path / "doc_ids.npy", self.doc_ids)
         np.save(path / "doc_lens.npy", self.doc_lens)
         with open(path / "pid2idx.json", "w") as f:
             json.dump({pid: i for i, pid in enumerate(self.pids)}, f)
+        with open(path / "meta.json", "w") as f:
+            json.dump(meta, f)
 
     @classmethod
     def load(cls, path: str | pathlib.Path) -> "MultiVecIndex":
         path = pathlib.Path(path)
         sents = np.load(path / "sents.npy")
+        meta_path = path / "meta.json"
+        if meta_path.exists():
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if "bfloat16" in meta.get("sent_dtype", ""):
+                import ml_dtypes
+                sents = sents.view(ml_dtypes.bfloat16)
         with open(path / "pid2idx.json") as f:
             pid2idx = json.load(f)
         pids = [None] * len(pid2idx)

@@ -153,3 +153,19 @@ def test_encode_corpus_roundtrip(rng, tmp_path):
                           *flatten_device_buckets(dev))
     assert int(docs[0]) == 7
     assert abs(float(scores[0])) < 1e-2
+
+
+def test_flat_bf16_save_load(rng, tmp_path):
+    import ml_dtypes
+    reps, pids = make_corpus(rng, n_docs=10)
+    idx = build_index_from_reps(reps, pids, n_shards=2, dtype=ml_dtypes.bfloat16)
+    idx.save(tmp_path / "fb16")
+    idx2 = MultiVecIndex.load(tmp_path / "fb16")
+    assert idx2.sents.dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(idx.sents.view(np.uint16),
+                                  idx2.sents.view(np.uint16))
+    # loaded arrays are jax-convertible and searchable
+    s, d = l2max_search(jnp.asarray(rng.normal(size=(3, 16)).astype(np.float32)),
+                        jnp.int32(3), jnp.asarray(np.asarray(idx2.sents)),
+                        jnp.asarray(idx2.doc_ids), 10, 3)
+    assert np.isfinite(np.asarray(s)).all()
