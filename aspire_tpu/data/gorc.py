@@ -121,6 +121,33 @@ def gather_cocitations_file(in_jsonl: str, out_pickle: str,
     return {"cocited_sets": len(cocited), "single_cited": len(single)}
 
 
+def gather_papers(pid_set: set, batch_files) -> dict:
+    """Collect full-paper jsons for a pid set from S2ORC batch jsonl files
+    (pre_proc_gorc.py:116-148).  batch_files: iterable of open files/paths."""
+    out = {}
+    for bf in batch_files:
+        f = codecs.open(bf, "r", "utf-8") if isinstance(bf, str) else bf
+        with f:
+            for line in f:
+                d = json.loads(line)
+                pid = str(d.get("paper_id"))
+                if pid in pid_set:
+                    out[pid] = d
+    return out
+
+
+def filter_area_citcontexts(citcontext_lines, pid2area: dict,
+                            area: str):
+    """Keep citation-context lines whose citing paper belongs to `area`
+    (pre_proc_gorc.py:546-586; areas: 'compsci'/'biomed' from metadata fields
+    of study)."""
+    for line in citcontext_lines:
+        d = json.loads(line) if isinstance(line, str) else line
+        citing_pid = next(iter(d))
+        if pid2area.get(str(citing_pid)) == area:
+            yield d
+
+
 def filter_corpus_abstracts(papers) -> dict:
     """{pid: {'title', 'abstract'}} for papers passing the noise filter
     (pre_proc_gorc.py cocit_corpus_to_jsonl + exclude_abstract)."""

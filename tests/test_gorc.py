@@ -53,3 +53,19 @@ def test_filter_corpus_abstracts():
     bad = {"paper_id": "b", "title": "T", "abstract": ["too short."]}
     out = filter_corpus_abstracts([good, bad])
     assert set(out) == {"g"}
+
+
+def test_gather_papers_and_area_filter(tmp_path):
+    import json
+    b1 = tmp_path / "b1.jsonl"
+    b1.write_text("\n".join(json.dumps({"paper_id": i, "title": f"t{i}"})
+                            for i in range(5)) + "\n")
+    from aspire_tpu.data.gorc import gather_papers, filter_area_citcontexts
+    got = gather_papers({"1", "3"}, [str(b1)])
+    assert set(got) == {"1", "3"} and got["3"]["title"] == "t3"
+
+    lines = [json.dumps({"p1": {"pA": [[0, 0, "s1"]]}}),
+             json.dumps({"p2": {"pB": [[0, 0, "s2"]]}})]
+    kept = list(filter_area_citcontexts(lines, {"p1": "compsci", "p2": "biomed"},
+                                        "compsci"))
+    assert len(kept) == 1 and "p1" in kept[0]
