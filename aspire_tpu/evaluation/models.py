@@ -168,6 +168,10 @@ class AspireSimilarityModel(SimilarityModel):
                                            temp=ot_temp, return_pair_sims=True)
             elif agg == "l2max":
                 sims, _ = l2max_dist(q, c, return_pair_sims=True)
+            elif agg == "jointsm":
+                from ..ops.distances import jointsm_dist
+                neg, _ = jointsm_dist(q, c, return_pair_sims=True)
+                sims = -neg  # poly-encoder returns negated summed score
             elif agg == "cosine_max":
                 qn = q.embed / jnp.linalg.norm(q.embed, axis=-1, keepdims=True).clip(1e-9)
                 cn = c.embed / jnp.linalg.norm(c.embed, axis=-1, keepdims=True).clip(1e-9)
@@ -270,6 +274,58 @@ class AspireNERSimilarityModel(AspireSimilarityModel):
             with_ner.append({"TITLE": sample["TITLE"],
                              "ABSTRACT": list(sample["ABSTRACT"]) + ners})
         return super().encode(with_ner)
+
+
+class TrainedSentSimilarityModel(SimilarityModel):
+    """Per-sentence CLS encoder eval model (cosentbert / ictsentbert).
+
+    The reference wraps these as SentenceTransformers and scores with cosine
+    max-sim (TrainedSentModel, utils/models.py:570-604).  Here each abstract
+    sentence is encoded separately by the trained tower's CLS rep.
+    """
+
+    def __init__(self, name: str, bert_config: BertConfig, params, tokenizer,
+                 batch_size: int = 8, max_toks: int = 500):
+        super().__init__(name=name, encoding_type="sentence", batch_size=batch_size)
+        self.tokenizer = tokenizer
+        self.max_toks = max_toks
+        enc = BertModel(bert_config)
+
+        @jax.jit
+        def _encode(token_ids, attn_mask):
+            last, _ = enc.apply({"params": params}, token_ids, attn_mask)
+            return last[:, 0, :]
+
+        self._encode_jit = _encode
+
+    def encode(self, batch_papers: list[dict]):
+        sents, splits, cur = [], [], 0
+        for p in batch_papers:
+            sents.extend(p["ABSTRACT"])
+            cur += len(p["ABSTRACT"])
+            splits.append(cur)
+        rows, max_len = [], 0
+        for s in sents:
+            ids = self.tokenizer.build_inputs_with_special_tokens(
+                self.tokenizer.convert_tokens_to_ids(
+                    self.tokenizer.tokenize(s)[: self.max_toks]))
+            rows.append(ids)
+            max_len = max(max_len, len(ids))
+        max_len = -(-max_len // 64) * 64
+        token_ids = np.full((len(rows), max_len), self.tokenizer.pad_token_id,
+                            np.int32)
+        attn = np.zeros((len(rows), max_len), np.int32)
+        for i, ids in enumerate(rows):
+            token_ids[i, : len(ids)] = ids
+            attn[i, : len(ids)] = 1
+        reps = np.asarray(self._encode_jit(jnp.asarray(token_ids),
+                                           jnp.asarray(attn)))
+        return np.split(reps, splits[:-1])
+
+    def get_similarity(self, x, y) -> float:
+        xn = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-9, None)
+        yn = y / np.clip(np.linalg.norm(y, axis=1, keepdims=True), 1e-9, None)
+        return float(np.max(xn @ yn.T))
 
 
 class ClsSimilarityModel(SimilarityModel):
@@ -394,8 +450,24 @@ def get_model(model_name: str, trained_model_path: str | None = None,
                                   params=params["bert"], tokenizer=tokenizer,
                                   layer_mix=np.asarray(params["layer_weights"]),
                                   **kw)
-    if model_name in {"tsaspire", "otaspire", "sbalisentbienc", "miswordbienc"}:
+    if model_name in {"tsaspire", "otaspire", "sbalisentbienc", "miswordbienc",
+                      "miswordabsbienc", "miswordpolyenc"}:
         assert trained_model_path and tokenizer is not None
+        if model_name == "miswordpolyenc":
+            kw.setdefault("agg", "jointsm")
         return AspireSimilarityModel.from_trained(model_name, trained_model_path,
                                                   tokenizer, **kw)
+    if model_name in {"cosentbert", "ictsentbert"}:
+        assert trained_model_path and tokenizer is not None
+        import orbax.checkpoint as ocp
+        rc = RunConfig.from_run_info(os.path.join(trained_model_path, "run_info.json"))
+        params = ocp.StandardCheckpointer().restore(
+            os.path.abspath(os.path.join(trained_model_path, "model_cur_best")))
+        if model_name == "ictsentbert":
+            params = params["sent"]  # query tower scores at test time
+        bc = (BertConfig(**rc.extra["bert_config"])
+              if "bert_config" in rc.extra else BertConfig())
+        return TrainedSentSimilarityModel(name=model_name, bert_config=bc,
+                                          params=params, tokenizer=tokenizer,
+                                          **kw)
     raise ValueError(f"Unknown model: {model_name}")

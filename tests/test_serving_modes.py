@@ -91,3 +91,34 @@ def test_unbalanced_sinkhorn_reach(rng):
     assert np.isfinite(cost_unb).all()
     # unbalanced relaxes the marginals -> strictly cheaper transport
     assert (cost_unb < cost_bal).all(), (cost_unb, cost_bal)
+
+
+def test_trained_sent_model_eval(tmp_path, rng, tiny_model):
+    """cosentbert eval path: per-sentence CLS reps + cosine max-sim."""
+    from aspire_tpu.evaluation.models import TrainedSentSimilarityModel
+    from aspire_tpu.models.bert import BertModel, BertConfig
+    cfg, _, tok = tiny_model
+    enc = BertModel(cfg)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    params = enc.init(jax.random.key(2), ids, jnp.ones_like(ids))["params"]
+    m = TrainedSentSimilarityModel(name="cosentbert", bert_config=cfg,
+                                   params=params, tokenizer=tok)
+    papers = [{"TITLE": "t", "ABSTRACT": ["alpha beta", "gamma delta", "alpha"]},
+              {"TITLE": "t", "ABSTRACT": ["alpha beta"]}]
+    encs = m.encode(papers)
+    assert encs[0].shape[0] == 3 and encs[1].shape[0] == 1
+    # identical sentence "alpha beta" -> cosine max-sim 1.0
+    sim = m.get_similarity(encs[0], encs[1])
+    assert sim == pytest.approx(1.0, abs=1e-5)
+
+
+def test_jointsm_eval_agg(tiny_model, rng):
+    cfg, params, tok = tiny_model
+    from aspire_tpu.evaluation.models import AspireSimilarityModel
+    m = AspireSimilarityModel(name="poly", bert_config=cfg, params=params,
+                              tokenizer=tok, agg="jointsm", max_sents=6)
+    q = rng.normal(size=(3, cfg.hidden_size)).astype(np.float32)
+    cands = [rng.normal(size=(2, cfg.hidden_size)).astype(np.float32)
+             for _ in range(4)]
+    sims = m.get_similarities(q, cands)
+    assert sims.shape == (4,) and np.isfinite(sims).all()
