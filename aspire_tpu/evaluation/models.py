@@ -26,9 +26,9 @@ import jax.numpy as jnp
 from ..core.config import RunConfig
 from ..core.types import MultiVec
 from ..models.bert import BertConfig, BertModel
-from ..models.encoders import ConSentEncoder, BiEncoder
+from ..models.encoders import ConSentEncoder, ConSentSpanEncoder, BiEncoder
 from ..ops.distances import wasserstein_dist, l2max_dist
-from ..text.tokenize import prepare_abstracts
+from ..text.tokenize import prepare_abstracts, ner_token_spans, spans_to_mask
 
 log = logging.getLogger(__name__)
 
@@ -164,8 +164,11 @@ class AspireSimilarityModel(SimilarityModel):
 
         def _pair_scores(q: MultiVec, c: MultiVec):
             if agg == "ot":
+                # per-pair annealing start: parity with the reference's 1x1
+                # evaluate.py scoring, and scores don't depend on chunking
                 sims, _ = wasserstein_dist(q, c, blur=blur, scaling=scaling,
-                                           temp=ot_temp, return_pair_sims=True)
+                                           temp=ot_temp, return_pair_sims=True,
+                                           diameter="pair")
             elif agg == "l2max":
                 sims, _ = l2max_dist(q, c, return_pair_sims=True)
             elif agg == "jointsm":
@@ -240,22 +243,31 @@ class AspireSimilarityModel(SimilarityModel):
         return MultiVec(embed=jnp.asarray(out), lens=jnp.asarray(lens))
 
     # chunk deep candidate pools (TRECCOVID-RF pools reach thousands) so one
-    # call never materializes a [pool, smax, d] monolith; rounding the chunk
-    # to fixed sizes keeps recompiles bounded.
-    SCORE_CHUNK = 1024
+    # call never materializes a [pool, smax, d] monolith.  Chunk size AND
+    # sentence count are bucketed to small ladders so XLA compiles a handful
+    # of shapes total while small pools (CSFCube ~50 cands) stop paying for
+    # a full 1024-pair Sinkhorn per query.
+    SCORE_CHUNKS = (64, 256, 1024)
 
     def get_similarities(self, query_enc, cand_encs: list) -> np.ndarray:
-        smax = max(len(query_enc), max(len(c) for c in cand_encs))
-        smax = max(smax, 2)
-        out = np.empty((len(cand_encs),), np.float32)
-        for start in range(0, len(cand_encs), self.SCORE_CHUNK):
-            chunk = list(cand_encs[start:start + self.SCORE_CHUNK])
-            n = len(chunk)
-            if n < self.SCORE_CHUNK:  # pad to a fixed shape (single compile)
-                chunk = chunk + [chunk[-1]] * (self.SCORE_CHUNK - n)
-            q = self._pack([query_enc] * len(chunk), smax)
+        smax = max(len(query_enc), max(len(c) for c in cand_encs), 2)
+        smax = -(-smax // 8) * 8  # sentence-count bucket (pads are masked)
+        n = len(cand_encs)
+        out = np.empty((n,), np.float32)
+        start = 0
+        while start < n:
+            rem = n - start
+            size = next((c for c in self.SCORE_CHUNKS if rem <= c),
+                        self.SCORE_CHUNKS[-1])
+            take = min(rem, size)
+            chunk = list(cand_encs[start:start + take])
+            if take < size:  # pad to the ladder shape (bounded compiles)
+                chunk += [chunk[-1]] * (size - take)
+            q = self._pack([query_enc] * size, smax)
             c = self._pack(chunk, smax)
-            out[start:start + n] = np.asarray(self._pair_scores_jit(q, c))[:n]
+            out[start:start + take] = np.asarray(
+                self._pair_scores_jit(q, c))[:take]
+            start += take
         return out
 
     def get_similarity(self, x, y) -> float:
@@ -274,6 +286,154 @@ class AspireNERSimilarityModel(AspireSimilarityModel):
             with_ner.append({"TITLE": sample["TITLE"],
                              "ABSTRACT": list(sample["ABSTRACT"]) + ners})
         return super().encode(with_ner)
+
+
+class AspireContextNERSimilarityModel(AspireSimilarityModel):
+    """Contextual entity-span model (AspireContextNER, utils/models.py:607-734,
+    with the AspireConSenContextual encoder, :413-507).
+
+    Each NER entity is represented as the MEAN OF ITS TOKEN STATES INSIDE THE
+    SENTENCE CONTEXT -- not re-encoded as a standalone sentence (that is
+    AspireNERSimilarityModel / reference AspireNER).  Entity reps are appended
+    after the sentence reps and OT scoring runs over the combined set.
+    Entities whose tokenization can't be located in the sentence (different
+    extraction tokenizer) or that fall past the 500-token truncation are
+    skipped, and the facet filter drops them symmetrically.
+    """
+
+    def __init__(self, *args, **kw):
+        kw.setdefault("encoding_type", "sentence-entity")
+        super().__init__(*args, **kw)
+        span_enc = ConSentSpanEncoder(self.bert_config, max_sents=self.max_sents)
+
+        @jax.jit
+        def _encode_spans(token_ids, attn_mask, sent_ids, span_mask):
+            return span_enc.apply({"params": self.params}, token_ids,
+                                  attn_mask, sent_ids, span_mask)
+
+        self._encode_spans_jit = _encode_spans
+
+    def encode(self, batch_papers: list[dict]):
+        assert "ENTITIES" in batch_papers[0], (
+            "No NER data for input; place entities at {dataset}-ner.jsonl")
+        fb, docs = prepare_abstracts(batch_papers, self.tokenizer,
+                                     max_sents=self.max_sents, return_docs=True)
+        spans = ner_token_spans(batch_papers, self.tokenizer, docs)
+        mask = spans_to_mask(spans, fb.seq_len)
+        _, sents, ents = self._encode_spans_jit(
+            jnp.asarray(fb.token_ids), jnp.asarray(fb.attn_mask),
+            jnp.asarray(fb.sent_ids), jnp.asarray(mask))
+        sents, ents = np.asarray(sents), np.asarray(ents)
+        out = []
+        for i in range(fb.batch):
+            rows = [sents[i, : fb.abs_lens[i]]]
+            valid = [e for e, s in enumerate(spans[i]) if s]
+            if valid:
+                rows.append(ents[i, valid])
+            out.append(np.concatenate(rows, axis=0))
+        return out
+
+    def get_faceted_encoding(self, unfaceted_encoding, facet: str,
+                             input_data: dict):
+        """Filter to facet sentences + their (encodable) entities.
+
+        Re-derives entity validity so ENTITY positions line up with the rows
+        actually encoded (reference :708-734; note its filter loop only
+        advances the validity counter on valid entities -- a latent
+        desync bug -- so we re-derive the intended semantics: every entity
+        consumes one validity slot)."""
+        _, docs = prepare_abstracts([input_data], self.tokenizer,
+                                    max_sents=self.max_sents, return_docs=True)
+        valid = [len(s) > 0
+                 for s in ner_token_spans([input_data], self.tokenizer, docs)[0]]
+        filtered, eid = [], 0
+        for sent_ners in input_data["ENTITIES"]:
+            keep = []
+            for ent in sent_ners:
+                if eid < len(valid) and valid[eid]:
+                    keep.append(ent)
+                eid += 1
+            filtered.append(keep)
+        data = {**{k: v for k, v in input_data.items() if k != "ENTITIES"},
+                "ENTITIES": filtered}
+        return super().get_faceted_encoding(unfaceted_encoding, facet, data)
+
+
+class SbertSimilarityModel(SimilarityModel):
+    """Mean-pool sentence-transformer baselines (SentenceModel,
+    utils/models.py:379-410): per-sentence masked mean pooling over final
+    hidden states, cosine max-sim scoring.
+
+    Loads any local HF checkpoint dir.  BERT-family checkpoints run through
+    the native Flax encoder; other architectures (roberta/mpnet) fall back to
+    the torch CPU module from the same directory -- these are CPU baselines
+    for comparison, not the TPU serving path.
+    """
+
+    # reference hub ids for the paper's three sbert baselines; pass a local
+    # clone of one of these as weights_dir (zero-egress environment)
+    MODEL_PATHS = {
+        "sbtinybertsota": "paraphrase-TinyBERT-L6-v2",
+        "sbrobertanli": "nli-roberta-base-v2",
+        "sbmpnet1B": "sentence-transformers/all-mpnet-base-v2",
+    }
+
+    def __init__(self, name: str, weights_dir: str, batch_size: int = 8,
+                 max_toks: int = 512):
+        super().__init__(name=name, encoding_type="sentence",
+                         batch_size=batch_size)
+        import transformers
+        self.tokenizer = transformers.AutoTokenizer.from_pretrained(weights_dir)
+        self.max_toks = max_toks  # multiple of 64 (pad_to_multiple_of below)
+        hf_cfg = transformers.AutoConfig.from_pretrained(weights_dir)
+        if getattr(hf_cfg, "model_type", None) == "bert":
+            from ..models.convert import params_from_hf_model, config_from_hf
+            hf = transformers.AutoModel.from_pretrained(weights_dir)
+            cfg = config_from_hf(hf.config)
+            params = params_from_hf_model(hf, cfg)
+            enc = BertModel(cfg)
+
+            @jax.jit
+            def _mean_pool(token_ids, attn_mask):
+                last, _ = enc.apply({"params": params}, token_ids, attn_mask)
+                m = attn_mask[:, :, None].astype(last.dtype)
+                return jnp.sum(last * m, axis=1) / jnp.maximum(
+                    jnp.sum(m, axis=1), 1e-9)
+
+            self._encode_fn = lambda ids, attn: np.asarray(
+                _mean_pool(jnp.asarray(ids), jnp.asarray(attn)))
+        else:
+            import torch
+            hf = transformers.AutoModel.from_pretrained(weights_dir)
+            hf.eval()
+
+            def _torch_encode(ids, attn):
+                with torch.no_grad():
+                    out = hf(input_ids=torch.from_numpy(ids).long(),
+                             attention_mask=torch.from_numpy(attn).long())
+                    last = out.last_hidden_state
+                    m = torch.from_numpy(attn)[:, :, None].float()
+                    return ((last * m).sum(1) / m.sum(1).clamp(min=1e-9)).numpy()
+
+            self._encode_fn = _torch_encode
+
+    def encode(self, batch_papers: list[dict]):
+        sents, splits, cur = [], [], 0
+        for p in batch_papers:
+            sents.extend(p["ABSTRACT"])
+            cur += len(p["ABSTRACT"])
+            splits.append(cur)
+        enc = self.tokenizer(sents, padding="longest", truncation=True,
+                             max_length=self.max_toks, return_tensors="np",
+                             pad_to_multiple_of=64)
+        reps = self._encode_fn(np.asarray(enc["input_ids"], np.int32),
+                               np.asarray(enc["attention_mask"], np.int32))
+        return np.split(reps, splits[:-1])
+
+    def get_similarity(self, x, y) -> float:
+        xn = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-9, None)
+        yn = y / np.clip(np.linalg.norm(y, axis=1, keepdims=True), 1e-9, None)
+        return float(np.max(xn @ yn.T))
 
 
 class TrainedSentSimilarityModel(SimilarityModel):
@@ -433,6 +593,13 @@ def get_model(model_name: str, trained_model_path: str | None = None,
         m = AspireNERSimilarityModel.from_hf_dir(model_name, weights_dir, agg="ot", **kw)
         m.encoding_type = "sentence-entity"
         return m
+    if model_name in {"aspire_context_ner_compsci", "aspire_context_ner_biomed"}:
+        assert weights_dir, f"{model_name} needs a local weights_dir"
+        return AspireContextNERSimilarityModel.from_hf_dir(
+            model_name, weights_dir, agg="ot", **kw)
+    if model_name in {"sbtinybertsota", "sbrobertanli", "sbmpnet1B"}:
+        assert weights_dir, f"{model_name} needs a local weights_dir"
+        return SbertSimilarityModel(model_name, weights_dir, **kw)
     if model_name in {"specter", "supsimcse", "unsupsimcse"}:
         assert weights_dir, f"{model_name} needs a local weights_dir"
         return ClsSimilarityModel.from_hf_dir(model_name, weights_dir, **kw)

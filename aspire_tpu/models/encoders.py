@@ -64,6 +64,50 @@ class ConSentEncoder(nn.Module):
         return doc_cls, sent_reps
 
 
+def span_pool(hidden: jax.Array, span_mask: jax.Array) -> jax.Array:
+    """Mean-pool token embeddings over arbitrary (possibly overlapping) spans.
+
+    hidden: f32[b, t, h]; span_mask: f32[b, e, t] (1.0 at member tokens).
+    Returns f32[b, e, h]; all-zero spans give zero vectors.  One einsum on
+    the MXU -- the TPU form of the reference's per-entity gather loop
+    (AspireConSenContextual._get_ner_reps, utils/models.py:465-477)."""
+    m = span_mask.astype(hidden.dtype)
+    sums = jnp.einsum("bet,bth->beh", m, hidden,
+                      preferred_element_type=jnp.float32)
+    counts = jnp.maximum(jnp.sum(m, axis=2), 1.0)
+    return sums / counts[:, :, None]
+
+
+class ConSentSpanEncoder(nn.Module):
+    """ConSentEncoder + per-entity token-span reps in sentence context.
+
+    The reference's AspireConSenContextual (utils/models.py:413-507): the
+    same BERT forward yields contextual sentence reps AND, for each NER
+    entity, the mean of its token states inside the sentence it occurs in.
+    Parameter tree is identical to ConSentEncoder ({"bert": ...}), so any
+    aspire checkpoint loads unchanged.
+
+    __call__(token_ids, attn_mask, sent_ids, span_mask)
+      -> (doc_cls f32[b,h], sent_reps f32[b,max_sents,h], ent_reps f32[b,e,h])
+    """
+
+    config: BertConfig
+    max_sents: int = 24
+    dtype: Any = jnp.float32
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, token_ids, attn_mask, sent_ids, span_mask,
+                 token_type_ids=None, deterministic: bool = True):
+        last, _ = BertModel(self.config, self.dtype, self.attention_impl,
+                            name="bert")(
+            token_ids, attn_mask, token_type_ids, deterministic)
+        doc_cls = last[:, 0, :]
+        sent_reps = sentence_pool(last, sent_ids, self.max_sents)
+        ent_reps = span_pool(last, span_mask)
+        return doc_cls, sent_reps, ent_reps
+
+
 class BiEncoder(nn.Module):
     """CLS bi-encoder with softmax scalar-mix over layers (MySPECTER).
 

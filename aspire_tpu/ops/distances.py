@@ -136,6 +136,7 @@ def wasserstein_dist(
     temp: float = 1.0,
     return_pair_sims: bool = False,
     max_iters: int = 128,
+    diameter: str = "global",
 ):
     """Optimal-transport multi-match scoring (otAspire).
 
@@ -145,12 +146,17 @@ def wasserstein_dist(
     Test -> transport plan recovered from the dual potentials and the
     plan-weighted similarity sum, plus diagnostics
     [q_distr, c_distr, pair_sims, plan, masked_sims].
+
+    diameter: 'global' (whole-batch annealing start; reference training
+    batches) or 'pair' (per-pair; reference evaluate.py 1x1 scoring --
+    batched eval scores become chunking-invariant).
     """
     a, b, neg = ot_marginals(query, cand, temp=temp)
     if not return_pair_sims:
         f, g = sinkhorn_potentials(
             a, query.embed, b, cand.embed,
             blur=blur, scaling=scaling, reach=reach, max_iters=max_iters,
+            diameter=diameter,
         )
         return sinkhorn_cost(a, f, b, g, blur=blur, reach=reach)
 
@@ -161,6 +167,7 @@ def wasserstein_dist(
     f, g = sinkhorn_potentials(
         a, query.embed, b, cand.embed,
         blur=blur, scaling=scaling, reach=reach, max_iters=max_iters,
+        diameter=diameter,
     )
     outersum = (f[:, :, None] + g[:, None, :]) * binary
     exps = jnp.exp((outersum + masked_neg) / blur)

@@ -57,6 +57,17 @@ def max_diameter(x: jax.Array, y: jax.Array) -> jax.Array:
     return jnp.linalg.norm(maxs - mins)
 
 
+def pairwise_diameter(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Per-batch-element diameter f32[bsz]: each pair gets its own box.
+
+    This is what geomloss sees when the reference scores pairs ONE AT A TIME
+    (evaluate.py:35-82 feeds 1x1 pairs), so the eval stack uses it to make
+    batched scoring independent of batch composition."""
+    mins = jnp.minimum(jnp.min(x, axis=1), jnp.min(y, axis=1))   # [bsz, d]
+    maxs = jnp.maximum(jnp.max(x, axis=1), jnp.max(y, axis=1))
+    return jnp.linalg.norm(maxs - mins, axis=-1)
+
+
 def _softmin(eps: jax.Array, cost: jax.Array, h: jax.Array) -> jax.Array:
     """softmin_eps(C, h)_i = -eps * logsumexp_j(h_j - C_ij / eps).
 
@@ -82,7 +93,8 @@ def _eps_at(i: jax.Array, diameter: jax.Array, blur: float, scaling: float) -> j
     return jnp.maximum(diameter * jnp.power(scaling, k), blur)
 
 
-@partial(jax.jit, static_argnames=("blur", "scaling", "reach", "max_iters", "use_cost"))
+@partial(jax.jit, static_argnames=("blur", "scaling", "reach", "max_iters",
+                                   "use_cost", "diameter"))
 def sinkhorn_potentials(
     a: jax.Array,
     x: jax.Array,
@@ -94,6 +106,7 @@ def sinkhorn_potentials(
     max_iters: int = 128,
     cost: jax.Array | None = None,
     use_cost: bool = False,
+    diameter: str = "global",
 ):
     """Solve regularized OT between weighted point clouds; return potentials.
 
@@ -103,6 +116,11 @@ def sinkhorn_potentials(
     y: f32[bsz, m, d] target points
     cost: optional precomputed f32[bsz, n, m] ground cost (pass use_cost=True);
         otherwise the L2 ("p=1") cost is computed from x, y.
+    diameter: 'global' anneals from the whole-batch diameter (geomloss on a
+        batched call -- the reference's training path); 'pair' anneals each
+        batch element from its own diameter (geomloss on 1x1 calls -- the
+        reference's evaluate.py path; batched scores become independent of
+        batch composition).
 
     Returns (f, g): potentials f32[bsz, n], f32[bsz, m] such that the balanced
     OT cost is sum(a * f + b * g) -- exactly geomloss's potentials=True output
@@ -116,8 +134,13 @@ def sinkhorn_potentials(
         c_xy = pairwise_l2(x, y)
     c_yx = jnp.swapaxes(c_xy, 1, 2)
 
-    diameter = jax.lax.stop_gradient(max_diameter(x, y))
-    n_iters = _schedule_len(diameter, blur, scaling)
+    bsz = a.shape[0]
+    if diameter == "pair":
+        diam = pairwise_diameter(x, y)                      # [bsz]
+    else:
+        diam = jnp.broadcast_to(max_diameter(x, y), (bsz,))  # [bsz]
+    diam = jax.lax.stop_gradient(diam)
+    n_iters = _schedule_len(diam, blur, scaling)             # [bsz]
 
     log_a = log_weights(a)
     log_b = log_weights(b)
@@ -129,23 +152,29 @@ def sinkhorn_potentials(
     log_b_ng = jax.lax.stop_gradient(log_b)
 
     def damping(eps):
+        # eps: [bsz] -> damping factor [bsz, 1] (or python 1.0 when balanced)
         if reach is None:
             return 1.0
         rho = float(reach)  # rho = reach ** p with p = 1
-        return 1.0 / (1.0 + eps / rho)
+        return 1.0 / (1.0 + eps[:, None] / rho)
 
-    eps0 = _eps_at(jnp.int32(0), diameter, blur, scaling)
-    f = damping(eps0) * _softmin(eps0, c_xy_ng, log_b_ng)
-    g = damping(eps0) * _softmin(eps0, c_yx_ng, log_a_ng)
+    def softmin_b(eps, cost_, h):
+        # per-element eps: [bsz]; cost_: [bsz, n, m]; h: [bsz, m]
+        return -eps[:, None] * jax.scipy.special.logsumexp(
+            h[:, None, :] - cost_ / eps[:, None, None], axis=2)
+
+    eps0 = _eps_at(jnp.int32(0), diam, blur, scaling)
+    f = damping(eps0) * softmin_b(eps0, c_xy_ng, log_b_ng)
+    g = damping(eps0) * softmin_b(eps0, c_yx_ng, log_a_ng)
 
     def body(i, fg):
         f, g = fg
-        eps = _eps_at(i, diameter, blur, scaling)
-        ft = damping(eps) * _softmin(eps, c_xy_ng, log_b_ng + g / eps)
-        gt = damping(eps) * _softmin(eps, c_yx_ng, log_a_ng + f / eps)
+        eps = _eps_at(i, diam, blur, scaling)
+        ft = damping(eps) * softmin_b(eps, c_xy_ng, log_b_ng + g / eps[:, None])
+        gt = damping(eps) * softmin_b(eps, c_yx_ng, log_a_ng + f / eps[:, None])
         f_new = 0.5 * (f + ft)
         g_new = 0.5 * (g + gt)
-        live = i < n_iters
+        live = (i < n_iters)[:, None]
         f = jnp.where(live, f_new, f)
         g = jnp.where(live, g_new, g)
         return (f, g)
@@ -155,9 +184,10 @@ def sinkhorn_potentials(
     g = jax.lax.stop_gradient(g)
 
     # --- Final extrapolation at eps = blur: the differentiable step. ---
-    damp = damping(jnp.float32(blur))
-    f_out = damp * _softmin(jnp.float32(blur), c_xy, log_b + g / blur)
-    g_out = damp * _softmin(jnp.float32(blur), c_yx, log_a + f / blur)
+    eps_b = jnp.full((bsz,), blur, jnp.float32)
+    damp = damping(eps_b)
+    f_out = damp * softmin_b(eps_b, c_xy, log_b + g / blur)
+    g_out = damp * softmin_b(eps_b, c_yx, log_a + f / blur)
     return f_out, g_out
 
 

@@ -129,11 +129,13 @@ def features_to_arrays(docs: list[TokenizedDoc], pad_id: int,
 
 def prepare_abstracts(batch_abs: list[dict], tokenizer, max_sents: int = 24,
                       pad_multiple: int = 64, seq_len: int | None = None,
-                      max_num_toks: int = MAX_NUM_TOKS) -> FeatureBatch:
+                      max_num_toks: int = MAX_NUM_TOKS,
+                      return_docs: bool = False):
     """Featurize a batch of {'TITLE': str, 'ABSTRACT': list[str]} dicts.
 
     The title is prefixed as "<title> [SEP] " exactly like SPECTER/the
-    reference (ex_aspire_consent.py:196-200).
+    reference (ex_aspire_consent.py:196-200).  With `return_docs=True` also
+    returns the per-doc `TokenizedDoc`s (for entity-span bookkeeping).
     """
     docs = []
     for ex in batch_abs:
@@ -142,6 +144,85 @@ def prepare_abstracts(batch_abs: list[dict], tokenizer, max_sents: int = 24,
         docs.append(tokenize_doc_sents(seqs, tokenizer, max_num_toks=max_num_toks))
     for d in docs:
         assert d.num_sents > 0, "abstract truncated to zero sentences"
-    return features_to_arrays(docs, pad_id=tokenizer.pad_token_id,
-                              max_sents=max_sents, pad_multiple=pad_multiple,
-                              seq_len=seq_len)
+    fb = features_to_arrays(docs, pad_id=tokenizer.pad_token_id,
+                            max_sents=max_sents, pad_multiple=pad_multiple,
+                            seq_len=seq_len)
+    return (fb, docs) if return_docs else fb
+
+
+def find_sublist_range(suplist: list, sublist: list) -> list[int] | None:
+    """Positions of the FIRST occurrence of `sublist` inside `suplist`.
+
+    Mirrors AspireContextNER.find_sublist_range
+    (src/evaluation/utils/models.py:684-697); returns None when absent or
+    when `sublist` is empty (the reference returns [] there, which its
+    caller also treats as invalid).
+    """
+    m = len(sublist)
+    if m == 0:
+        return None
+    for i in range(len(suplist) - m + 1):
+        if suplist[i:i + m] == sublist:
+            return list(range(i, i + m))
+    return None
+
+
+def ner_token_spans(batch_papers: list[dict], tokenizer,
+                    docs: list[TokenizedDoc]) -> list[list[list[int]]]:
+    """Global token indices for every NER entity, in sentence order.
+
+    For each paper, returns one list per entity (flattened across sentences,
+    preserving the ENTITIES order): the +1-CLS-shifted token indices of the
+    entity's span inside its sentence context, or [] when the entity cannot
+    be used.  An entity is unusable when (a) its tokenization does not occur
+    as a sub-sequence of its sentence's tokenization (the entities were
+    extracted with a different tokenizer), or (b) any of its tokens fall
+    beyond the 500-token truncation -- the contract of
+    AspireContextNER._get_ner_token_idxs
+    (src/evaluation/utils/models.py:649-682).
+
+    Deviation (documented): entities belonging to sentences that were
+    truncated away entirely still get an (invalid, []) slot here, so the
+    output always has one entry per entity; the reference's zip silently
+    drops them, which desynchronizes its downstream facet filter.
+    """
+    out = []
+    for paper, doc in zip(batch_papers, docs):
+        spans: list[list[int]] = []
+        for si, (ners, sent) in enumerate(zip(paper["ENTITIES"],
+                                              paper["ABSTRACT"])):
+            tok_idxs = (doc.sent_token_idxs[si]
+                        if si < len(doc.sent_token_idxs) else [])
+            sent_toks = tokenizer.tokenize(sent) if (tok_idxs and ners) else []
+            for ner in ners:
+                span: list[int] = []
+                if tok_idxs:
+                    rng = find_sublist_range(sent_toks, tokenizer.tokenize(ner))
+                    if rng:
+                        idxs = [tok_idxs[i] for i in rng if i < len(tok_idxs)]
+                        if len(idxs) == len(rng):  # fully inside truncation
+                            span = idxs
+                spans.append(span)
+        out.append(spans)
+    return out
+
+
+def spans_to_mask(batch_spans: list[list[list[int]]], seq_len: int,
+                  max_ents: int | None = None,
+                  pad_multiple: int = 8) -> np.ndarray:
+    """Dense f32[b, max_ents, t] span-membership mask for device pooling.
+
+    Entity e of doc b has 1.0 at its token positions; invalid entities are
+    all-zero rows (they pool to a zero vector and are dropped host-side).
+    A dense mask (not an id array) because spans may overlap."""
+    b = len(batch_spans)
+    if max_ents is None:
+        longest = max((len(s) for s in batch_spans), default=0)
+        max_ents = max(pad_multiple,
+                       -(-max(longest, 1) // pad_multiple) * pad_multiple)
+    mask = np.zeros((b, max_ents, seq_len), np.float32)
+    for i, spans in enumerate(batch_spans):
+        for e, span in enumerate(spans[:max_ents]):
+            if span:
+                mask[i, e, span] = 1.0
+    return mask

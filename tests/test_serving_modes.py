@@ -48,7 +48,7 @@ def test_deep_pool_chunking(tiny_model, rng, monkeypatch):
     cfg, params, tok = tiny_model
     m = AspireSimilarityModel(name="m", bert_config=cfg, params=params,
                               tokenizer=tok, agg="l2max", max_sents=6)
-    monkeypatch.setattr(AspireSimilarityModel, "SCORE_CHUNK", 16)
+    monkeypatch.setattr(AspireSimilarityModel, "SCORE_CHUNKS", (16,))
     q = rng.normal(size=(4, cfg.hidden_size)).astype(np.float32)
     cands = [rng.normal(size=(int(rng.integers(1, 6)), cfg.hidden_size)).astype(np.float32)
              for _ in range(41)]  # 2 full chunks + remainder
