@@ -303,8 +303,8 @@ def build_parser():
     c.set_defaults(fn=cmd_compare)
 
     pp = sub.add_parser("preprocess", help="dataset preparation pipelines")
-    pp.add_argument("action", choices=["cocit-examples", "relish", "treccovid",
-                                       "scidocs", "filter-cocits"])
+    pp.add_argument("action", choices=["gorc", "cocit-examples", "relish",
+                                       "treccovid", "scidocs", "filter-cocits"])
     pp.add_argument("--in-path", required=True)
     pp.add_argument("--out-path", required=True)
     pp.add_argument("--extra", help="json dict of pipeline-specific options")

@@ -471,6 +471,10 @@ def main(args):
         with open(args.out_path, "wb") as f:
             pickle.dump(filt, f)
         out = {"cocitations": len(filt)}
+    elif args.action == "gorc":
+        # end-to-end S2ORC pass: batch-file dir -> train/dev cocit jsonl
+        from .corpus import run_gorc_pipeline
+        out = run_gorc_pipeline(args.in_path, args.out_path, **extra)
     elif args.action == "cocit-examples":
         import pickle
         with open(args.in_path, "rb") as f:

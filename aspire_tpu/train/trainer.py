@@ -267,18 +267,23 @@ class Trainer:
         self.cfg.to_run_info(self.model_path / "run_info.json")
 
     def restore_full_state(self, suffix: str = "resume") -> TrainState:
+        """Restore against an ABSTRACT target pytree so orbax reassembles the
+        exact TrainState structure (incl. optax NamedTuple opt state) by key,
+        never by leaf order -- leaf-order unflattening silently misassigns
+        adam moments if enumeration order ever differs."""
         import orbax.checkpoint as ocp
 
         path = (self.model_path / f"state_{suffix}").absolute()
-        raw = ocp.StandardCheckpointer().restore(path)
+        abstract_params = jax.eval_shape(self.model.init_params,
+                                         jax.random.key(0))
+        abstract = {
+            "step": jax.ShapeDtypeStruct((), jnp.int32),
+            "params": abstract_params,
+            "opt_state": jax.eval_shape(self.optimizer.init, abstract_params),
+        }
+        raw = ocp.StandardCheckpointer().restore(path, abstract)
         params = replicate(raw["params"], self.mesh)
-        opt_state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x), raw["opt_state"])
-        # restore onto the optimizer's pytree structure
-        ref_opt = self.optimizer.init(params)
-        opt_state = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(ref_opt),
-            jax.tree_util.tree_leaves(opt_state))
+        opt_state = jax.tree_util.tree_map(jax.device_put, raw["opt_state"])
         return TrainState(step=jnp.asarray(raw["step"], jnp.int32),
                           params=params, opt_state=opt_state)
 

@@ -63,6 +63,45 @@ def test_full_state_resume(tmp_path, rng):
     assert max(jax.tree_util.tree_leaves(diffs)) < 1e-7
 
 
+def test_restore_preserves_perturbed_adam_moments(tmp_path, rng):
+    """Restore must reassemble opt state by KEY (abstract target), never by
+    leaf order: perturb each adam moment with a distinct marker and require
+    bitwise equality after the round trip."""
+    cfg = RunConfig.from_dict(CFG)
+    model = build_model(cfg.model, BertConfig.tiny())
+    mesh = make_mesh(n_data=1)
+    tr = Trainer(model, cfg, str(tmp_path / "r"), mesh=mesh, early_stop=False)
+    state = tr.init_state(jax.random.key(0))
+    sb = shard_batch(make_superbatch(rng), mesh, axis=1)
+    state, _ = tr._train_step(state, sb, jax.random.key(1))
+
+    # stamp every opt-state leaf with a unique fingerprint
+    counter = [0]
+
+    def stamp(x):
+        counter[0] += 1
+        if np.issubdtype(np.asarray(x).dtype, np.floating):
+            return jnp.asarray(np.asarray(x) + counter[0] * 1e-3)
+        return x
+
+    from aspire_tpu.train.trainer import TrainState
+    stamped = TrainState(
+        step=state.step, params=state.params,
+        opt_state=jax.tree_util.tree_map(stamp, state.opt_state))
+    tr.save_full_state(stamped, "stamped")
+
+    tr2 = Trainer(model, cfg, str(tmp_path / "r"), mesh=mesh, early_stop=False)
+    restored = tr2.restore_full_state("stamped")
+    # same structure AND bitwise-identical leaves in matching positions
+    assert (jax.tree_util.tree_structure(restored.opt_state)
+            == jax.tree_util.tree_structure(stamped.opt_state))
+    want = jax.device_get(stamped.opt_state)
+    got = jax.device_get(restored.opt_state)
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_nan_guard_suppresses_update(tmp_path, rng):
     cfg = RunConfig.from_dict(CFG)
     model = build_model(cfg.model, BertConfig.tiny())
