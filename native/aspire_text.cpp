@@ -6,11 +6,14 @@
 // WordPiece pipeline (greedy longest-match-first with "##" continuations)
 // with a C ABI consumed via ctypes (no pybind11 in this image).
 //
-// Scope/divergence notes (documented, validated in tests):
-//  * ASCII lowercasing and ASCII punctuation splitting match HF exactly.
-//  * Non-ASCII UTF-8 codepoints are treated as opaque letter characters (no
-//    unicode lowercasing/NFD accent stripping, no CJK spacing) -- identical
-//    behaviour on the ASCII scientific text this pipeline feeds.
+// Unicode semantics follow HF BasicTokenizer
+// (transformers/models/bert/tokenization_bert.py) using generated BMP
+// property tables (aspire_unicode_tables.h, from gen_unicode_tables.py):
+//   clean text (drop Cc/Cf, U+0000, U+FFFD; unicode spaces split), CJK
+//   ideograph spacing, per-token lowercase + NFD accent strip (incl. the
+//   Final_Sigma rule), unicode punctuation splitting.
+// Documented deviation: codepoints above the BMP are opaque letters (no
+// supplementary-plane casing/punctuation -- absent from scientific text).
 //
 // Build: g++ -O3 -std=c++17 -shared -fPIC aspire_text.cpp -o libaspire_text.so
 
@@ -21,6 +24,8 @@
 #include <vector>
 #include <fstream>
 
+#include "aspire_unicode_tables.h"
+
 namespace {
 
 struct Vocab {
@@ -29,39 +34,136 @@ struct Vocab {
     int32_t max_chars_per_word = 100;
 };
 
-inline bool is_ascii_space(unsigned char c) {
-    return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0b;
+inline bool bit(const uint32_t* bits, uint32_t cp) {
+    return cp < 0x10000 && ((bits[cp >> 5] >> (cp & 31)) & 1u);
+}
+inline bool u_is_punct(uint32_t cp)   { return bit(kPunctBits, cp); }
+inline bool u_is_space(uint32_t cp)   { return bit(kSpaceBits, cp); }
+inline bool u_is_control(uint32_t cp) { return bit(kControlBits, cp); }
+inline bool u_is_cased(uint32_t cp)   { return bit(kCasedBits, cp); }
+inline bool u_is_mark(uint32_t cp)    { return bit(kMarkBits, cp); }
+
+// HF _is_chinese_char ranges (CJK ideographs; NOT kana/hangul).
+inline bool u_is_cjk(uint32_t cp) {
+    return (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+           (cp >= 0x20000 && cp <= 0x2A6DF) || (cp >= 0x2A700 && cp <= 0x2B73F) ||
+           (cp >= 0x2B740 && cp <= 0x2B81F) || (cp >= 0x2B820 && cp <= 0x2CEAF) ||
+           (cp >= 0xF900 && cp <= 0xFAFF) || (cp >= 0x2F800 && cp <= 0x2FA1F);
 }
 
-inline bool is_ascii_punct(unsigned char c) {
-    // HF _is_punctuation for ASCII: the four punct ranges.
-    return (c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
-           (c >= 91 && c <= 96) || (c >= 123 && c <= 126);
+// Decode one UTF-8 codepoint; returns bytes consumed (>=1).  Invalid bytes
+// decode to U+FFFD, which the cleaner drops (HF drops it too).
+inline size_t utf8_decode(const unsigned char* p, uint32_t* cp) {
+    unsigned char c = p[0];
+    if (c < 0x80) { *cp = c; return 1; }
+    if ((c & 0xE0) == 0xC0 && (p[1] & 0xC0) == 0x80) {
+        *cp = ((c & 0x1Fu) << 6) | (p[1] & 0x3Fu);
+        return 2;
+    }
+    if ((c & 0xF0) == 0xE0 && (p[1] & 0xC0) == 0x80 && (p[2] & 0xC0) == 0x80) {
+        *cp = ((c & 0x0Fu) << 12) | ((p[1] & 0x3Fu) << 6) | (p[2] & 0x3Fu);
+        return 3;
+    }
+    if ((c & 0xF8) == 0xF0 && (p[1] & 0xC0) == 0x80 && (p[2] & 0xC0) == 0x80 &&
+        (p[3] & 0xC0) == 0x80) {
+        *cp = ((c & 0x07u) << 18) | ((p[1] & 0x3Fu) << 12) |
+              ((p[2] & 0x3Fu) << 6) | (p[3] & 0x3Fu);
+        return 4;
+    }
+    *cp = 0xFFFD;
+    return 1;
 }
 
-inline bool is_control(unsigned char c) {
-    return c < 32 && !is_ascii_space(c);
+inline void append_utf8(std::string* s, uint32_t cp) {
+    if (cp < 0x80) {
+        s->push_back((char)cp);
+    } else if (cp < 0x800) {
+        s->push_back((char)(0xC0 | (cp >> 6)));
+        s->push_back((char)(0x80 | (cp & 0x3F)));
+    } else if (cp < 0x10000) {
+        s->push_back((char)(0xE0 | (cp >> 12)));
+        s->push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+        s->push_back((char)(0x80 | (cp & 0x3F)));
+    } else {
+        s->push_back((char)(0xF0 | (cp >> 18)));
+        s->push_back((char)(0x80 | ((cp >> 12) & 0x3F)));
+        s->push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+        s->push_back((char)(0x80 | (cp & 0x3F)));
+    }
 }
 
-// Split text into "words": whitespace-separated, punctuation split out as
-// single-char words; optional ASCII lowercasing.
+// fold(cp) = strip_accents(lower(cp)); identity when absent from the table.
+// Appends the folded codepoints to out.
+inline void fold_append(uint32_t cp, std::vector<uint32_t>* out) {
+    uint32_t lo = 0, hi = kFoldCount;
+    while (lo < hi) {
+        uint32_t mid = (lo + hi) / 2;
+        if (kFold[mid].cp < cp) lo = mid + 1; else hi = mid;
+    }
+    if (lo < kFoldCount && kFold[lo].cp == cp) {
+        const unsigned char* p = kFoldPool + kFold[lo].offset;
+        const unsigned char* end = p + kFold[lo].len;
+        while (p < end) {
+            uint32_t f;
+            p += utf8_decode(p, &f);
+            out->push_back(f);
+        }
+        return;  // len 0 (Mn mark) appends nothing
+    }
+    out->push_back(cp);
+}
+
+// HF BasicTokenizer: clean -> CJK spacing -> whitespace split -> per token
+// (lowercase + strip accents) -> punctuation split.
+//
+// Lowercasing is PER CODEPOINT, context-free: PreTrainedTokenizer.tokenize
+// pre-lowercases the raw text one character at a time (the `(.+?)` regex in
+// tokenization_utils.py), so Python's Final_Sigma context rule never fires
+// and U+03A3 always folds to U+03C3 -- the fold table already encodes this.
 void basic_tokenize(const char* text, bool lowercase,
                     std::vector<std::string>* words) {
-    std::string cur;
-    for (const unsigned char* p = (const unsigned char*)text; *p; ++p) {
-        unsigned char c = *p;
-        if (is_control(c)) continue;
-        if (is_ascii_space(c)) {
-            if (!cur.empty()) { words->push_back(cur); cur.clear(); }
-        } else if (c < 128 && is_ascii_punct(c)) {
-            if (!cur.empty()) { words->push_back(cur); cur.clear(); }
-            words->push_back(std::string(1, (char)c));
+    std::vector<std::vector<uint32_t>> toks;
+    std::vector<uint32_t> cur;
+    const unsigned char* p = (const unsigned char*)text;
+    while (*p) {
+        uint32_t cp;
+        p += utf8_decode(p, &cp);
+        if (cp == 0 || cp == 0xFFFD || u_is_control(cp)) continue;
+        if (u_is_space(cp)) {
+            if (!cur.empty()) { toks.push_back(cur); cur.clear(); }
+        } else if (u_is_cjk(cp)) {
+            if (!cur.empty()) { toks.push_back(cur); cur.clear(); }
+            toks.push_back({cp});
         } else {
-            if (lowercase && c >= 'A' && c <= 'Z') c = c - 'A' + 'a';
-            cur.push_back((char)c);
+            cur.push_back(cp);
         }
     }
-    if (!cur.empty()) words->push_back(cur);
+    if (!cur.empty()) toks.push_back(cur);
+
+    std::string word;
+    for (const auto& tok : toks) {
+        std::vector<uint32_t> folded;
+        folded.reserve(tok.size());
+        if (lowercase) {
+            for (size_t i = 0; i < tok.size(); ++i) {
+                fold_append(tok[i], &folded);
+            }
+        } else {
+            folded = tok;
+        }
+        word.clear();
+        for (uint32_t cp : folded) {
+            if (u_is_punct(cp)) {
+                if (!word.empty()) { words->push_back(word); word.clear(); }
+                std::string pw;
+                append_utf8(&pw, cp);
+                words->push_back(pw);
+            } else {
+                append_utf8(&word, cp);
+            }
+        }
+        if (!word.empty()) { words->push_back(word); word.clear(); }
+    }
 }
 
 // Count UTF-8 codepoints (HF caps words at max_chars_per_word CODEPOINTS).

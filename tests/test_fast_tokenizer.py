@@ -77,6 +77,67 @@ def test_speed_smoke(fast, hf):
     assert t_fast < t_hf, (t_fast, t_hf)
 
 
+UNICODE_VOCAB = VOCAB + [
+    "λογος", "λ", "##ο", "##γ", "##ος", "##ς", "σ", "α", "β", "##β",
+    "resume", "uber", "##ber", "数", "学", "ω",
+]
+
+
+@pytest.fixture(scope="module")
+def uni_vocab_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("uv") / "vocab.txt"
+    p.write_text("\n".join(UNICODE_VOCAB) + "\n")
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def uni_hf(uni_vocab_file):
+    return BertTokenizer(uni_vocab_file, do_lower_case=True)
+
+
+@pytest.fixture(scope="module")
+def uni_fast(uni_vocab_file):
+    return FastWordPiece(uni_vocab_file)
+
+
+UNICODE_SENTS = [
+    # Greek lowercase + FINAL SIGMA (U+03A3 -> U+03C2 word-finally)
+    "ΛΌΓΟΣ και ΣΟΦΙΑ",
+    "the λόγος appears σ and Σ.",
+    # accents strip via NFD (résumé -> resume, über -> uber)
+    "his RÉSUMÉ and Über model",
+    "naïve café, coöperate",
+    # CJK ideographs get split to single chars
+    "we study 数学 here",
+    # unicode punctuation/quotes/dashes split like HF
+    "“quoted” text — with • bullets…",
+    # NBSP (Zs) is whitespace; ZWSP/soft hyphen (Cf) are dropped
+    "non breaking zero​width so­ft",
+    # combining marks on their own
+    "á combining ë marks",
+    "ΣΣ Σ, Σb",
+]
+
+
+def test_unicode_parity_vs_hf(uni_hf, uni_fast):
+    for sent in UNICODE_SENTS:
+        want = uni_hf.convert_tokens_to_ids(uni_hf.tokenize(sent))
+        got = uni_fast.encode(sent).tolist()
+        assert got == want, (sent, uni_hf.tokenize(sent), got, want)
+
+
+def test_unicode_fuzz_parity_vs_hf(uni_hf, uni_fast, rng):
+    alphabet = list("aB .,") + ["é", "Σ", "σ", "ς", "ά", "Ω", "ß", "“", "—",
+                                " ", "中", "数", "λ", "Ό", "ö", "​",
+                                "́", "9", "[", "²", "µ", "Å"]
+    for _ in range(300):
+        n = int(rng.integers(1, 24))
+        s = "".join(rng.choice(alphabet) for _ in range(n))
+        want = uni_hf.convert_tokens_to_ids(uni_hf.tokenize(s))
+        got = uni_fast.encode(s).tolist()
+        assert got == want, (repr(s), uni_hf.tokenize(s), got, want)
+
+
 def test_prepare_abstracts_with_fast_tokenizer(hf, fast):
     """The featurizer must produce identical arrays through either tokenizer."""
     from aspire_tpu.text.tokenize import prepare_abstracts
