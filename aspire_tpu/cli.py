@@ -138,7 +138,8 @@ def cmd_build_index(args):
     for i in range(0, len(corpus), args.batch_size):
         reps.extend(model.encode(corpus[i:i + args.batch_size]))
     import ml_dtypes
-    dtype = ml_dtypes.bfloat16 if args.bf16 else np.float32
+    dtype = ("int8" if args.int8 else
+             ml_dtypes.bfloat16 if args.bf16 else np.float32)
     idx = build_dense_index(reps, pids, n_shards=args.n_shards, dtype=dtype)
     idx.save(args.out)
     print(f"indexed {idx.n_docs} docs ({len(idx.buckets)} buckets, "
@@ -160,7 +161,7 @@ def cmd_rank(args):
     model = _load_eval_model(args)
     dev = idx.device_arrays()
     flat = flatten_device_buckets(dev)
-    search = make_dense_search(len(dev), k=args.k)
+    search = make_dense_search(len(dev), k=args.k, int8=idx.is_int8)
     pool = dataset.get_test_pool(facet=args.facet)
     qmax = 32
     ranked = {}
@@ -273,6 +274,8 @@ def build_parser():
     b.add_argument("--n-shards", type=int, default=1)
     b.add_argument("--batch-size", type=int, default=32)
     b.add_argument("--bf16", action="store_true")
+    b.add_argument("--int8", action="store_true",
+                   help="per-sentence-scale int8 storage (half the scan bytes)")
     b.add_argument("--log_fname")
     b.set_defaults(fn=cmd_build_index)
 

@@ -14,7 +14,15 @@ scatter/gather from the hot path:
     layout;
   * multi-chip: each bucket's doc axis is sharded over the `shard` mesh axis;
     per-shard top-k results merge with one all_gather of k-sized arrays over
-    ICI (serve-side shard_map).
+    ICI (serve-side shard_map);
+  * optional INT8 storage (dtype="int8"): sentence vectors quantized with a
+    per-sentence symmetric scale (x ~= scale * x_i8), halving scan bytes vs
+    bf16.  The kernel upcasts int8->bf16 inside the fused einsum (XLA fuses
+    the convert into the matmul read -- no int8 MXU accumulation, which lost
+    accuracy on this toolchain; see docs/design.md) and applies the scale to
+    the [n, s, q] sims: 2*scale*(q.x_i8) - |x|^2 - |q|^2 with norms
+    precomputed on the DEQUANTIZED stored values, so ordering is exact for
+    what's in memory.  Scales add 4 bytes per sentence (~0.26% of bf16 row).
 
 Squared-L2 ordering == L2 ordering; exposed scores are sqrt'd to match the
 reference's -cdist values (pp_gen_nearest.py:729-985).
@@ -42,9 +50,14 @@ class DenseBucketIndex:
     """Host-side dense-bucketed index."""
 
     buckets: list[dict]     # each: {"sents": [n,s,d], "norms": [n,s] f32,
-                            #        "doc_idx": [n] i32}
+                            #        "doc_idx": [n] i32,
+                            #        optional "scales": [n,s] f32 (int8 mode)}
     doc_lens: np.ndarray    # [n_docs] i32 (true sentence counts)
     pids: list
+
+    @property
+    def is_int8(self) -> bool:
+        return "scales" in self.buckets[0]
 
     @property
     def n_docs(self) -> int:
@@ -68,6 +81,8 @@ class DenseBucketIndex:
             np.save(path / f"bucket{i}_sents.npy", sents)
             np.save(path / f"bucket{i}_norms.npy", b["norms"])
             np.save(path / f"bucket{i}_docidx.npy", b["doc_idx"])
+            if "scales" in b:
+                np.save(path / f"bucket{i}_scales.npy", b["scales"])
         np.save(path / "doc_lens.npy", self.doc_lens)
         with open(path / "pid2idx.json", "w") as f:
             json.dump({pid: i for i, pid in enumerate(self.pids)}, f)
@@ -90,11 +105,17 @@ class DenseBucketIndex:
                 arr = arr.view(ml_dtypes.bfloat16)
             return arr
 
-        buckets = [{
-            "sents": load_sents(i),
-            "norms": np.load(path / f"bucket{i}_norms.npy"),
-            "doc_idx": np.load(path / f"bucket{i}_docidx.npy"),
-        } for i in range(nb)]
+        buckets = []
+        for i in range(nb):
+            b = {
+                "sents": load_sents(i),
+                "norms": np.load(path / f"bucket{i}_norms.npy"),
+                "doc_idx": np.load(path / f"bucket{i}_docidx.npy"),
+            }
+            scales_path = path / f"bucket{i}_scales.npy"
+            if scales_path.exists():
+                b["scales"] = np.load(scales_path)
+            buckets.append(b)
         with open(path / "pid2idx.json") as f:
             pid2idx = json.load(f)
         pids = [None] * len(pid2idx)
@@ -112,8 +133,11 @@ class DenseBucketIndex:
             else:
                 sh = NamedSharding(mesh, P("shard"))
                 put = lambda x: jax.device_put(jnp.asarray(x), sh)
-            out.append({"sents": put(b["sents"]), "norms": put(b["norms"]),
-                        "doc_idx": put(b["doc_idx"])})
+            dev = {"sents": put(b["sents"]), "norms": put(b["norms"]),
+                   "doc_idx": put(b["doc_idx"])}
+            if "scales" in b:
+                dev["scales"] = put(b["scales"])
+            out.append(dev)
         return out
 
     def gather_doc_reps(self, doc_idx, max_sents: int):
@@ -129,7 +153,10 @@ class DenseBucketIndex:
         for i, di in enumerate(doc_idx):
             b, row = pos[int(di)]
             ln = min(int(self.doc_lens[di]), max_sents)
-            out[i, :ln] = b["sents"][row, :ln].astype(np.float32)
+            reps = b["sents"][row, :ln].astype(np.float32)
+            if "scales" in b:  # dequantize int8 storage
+                reps = reps * b["scales"][row, :ln, None]
+            out[i, :ln] = reps
             lens[i] = ln
         return MultiVec(embed=jnp.asarray(out), lens=jnp.asarray(lens))
 
@@ -141,10 +168,17 @@ def build_dense_index(doc_reps: list[np.ndarray], pids: list,
 
     Docs longer than the largest bucket are truncated to it.  Each bucket's
     doc count is padded to a multiple of 8*n_shards (sublane/shard
-    alignment) with dummy docs (doc_idx -1, norms +inf)."""
+    alignment) with dummy docs (doc_idx -1, norms +inf).
+
+    dtype: bf16 (default), f32, or "int8"/np.int8 for per-sentence-scale
+    symmetric quantization (halves scan bytes; see module docstring)."""
     import ml_dtypes
     if dtype is None:
         dtype = ml_dtypes.bfloat16
+    if isinstance(dtype, str):
+        int8 = dtype == "int8"
+    else:
+        int8 = np.dtype(dtype) == np.int8
     dim = doc_reps[0].shape[1]
     doc_lens = np.asarray([min(len(r), buckets[-1]) for r in doc_reps], np.int32)
     by_bucket: dict[int, list[int]] = {s: [] for s in buckets}
@@ -160,20 +194,49 @@ def build_dense_index(doc_reps: list[np.ndarray], pids: list,
         if not idxs:
             continue
         n = -(-len(idxs) // align) * align
-        sents = np.zeros((n, s, dim), dtype)
+        sents = np.zeros((n, s, dim), np.int8 if int8 else dtype)
         norms = np.full((n, s), np.float32(np.inf), np.float32)
         doc_idx = np.full((n,), -1, np.int32)
+        scales = np.zeros((n, s), np.float32) if int8 else None
         for row, di in enumerate(idxs):
             r = doc_reps[di][:s].astype(np.float32)
-            sents[row, : len(r)] = r.astype(dtype)
-            # norms computed on the STORED (possibly bf16-rounded) values so
+            if int8:
+                sc = np.abs(r).max(axis=1) / 127.0            # per sentence
+                sc = np.where(sc > 0, sc, 1.0).astype(np.float32)
+                xi = np.clip(np.round(r / sc[:, None]), -127, 127)
+                sents[row, : len(r)] = xi.astype(np.int8)
+                scales[row, : len(r)] = sc
+                stored = xi.astype(np.float32) * sc[:, None]  # dequantized
+            else:
+                sents[row, : len(r)] = r.astype(dtype)
+                stored = sents[row, : len(r)].astype(np.float32)
+            # norms computed on the STORED (rounded/quantized) values so
             # 2*q.x - |x|^2 is exact for the stored vectors
-            stored = sents[row, : len(r)].astype(np.float32)
             norms[row, : len(r)] = np.sum(stored * stored, axis=1)
             doc_idx[row] = di
-        out_buckets.append({"sents": sents, "norms": norms, "doc_idx": doc_idx})
+        b = {"sents": sents, "norms": norms, "doc_idx": doc_idx}
+        if int8:
+            b["scales"] = scales
+        out_buckets.append(b)
     return DenseBucketIndex(buckets=out_buckets, doc_lens=doc_lens,
                             pids=list(pids))
+
+
+def _bucket_sims(q, bucket):
+    """Fused [n, s, q] similarity tensor q.x for one bucket.
+
+    float storage: q is pre-cast to the bucket dtype by the caller.
+    int8 storage: upcast int8->bf16 inside the einsum read (XLA fuses the
+    convert; HBM traffic stays 1 byte/elem) and apply the per-sentence
+    dequantization scale to the sims."""
+    sents = bucket["sents"]
+    if "scales" in bucket:
+        sims = jnp.einsum("qd,nsd->nsq", q.astype(jnp.bfloat16),
+                          sents.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        return sims * bucket["scales"][:, :, None]
+    return jnp.einsum("qd,nsd->nsq", q.astype(sents.dtype), sents,
+                      preferred_element_type=jnp.float32)
 
 
 def _bucket_topk(q, q_norms, q_len, bucket, k: int):
@@ -181,9 +244,8 @@ def _bucket_topk(q, q_norms, q_len, bucket, k: int):
 
     score(doc) = max over (sent, query-sent) of (2 q.x - |x|^2 - |q|^2)
     which orders identically to -L2 and equals its square up to sign."""
-    sents, norms, doc_idx = bucket["sents"], bucket["norms"], bucket["doc_idx"]
-    sims = jnp.einsum("qd,nsd->nsq", q, sents,
-                      preferred_element_type=jnp.float32)
+    norms, doc_idx = bucket["norms"], bucket["doc_idx"]
+    sims = _bucket_sims(q, bucket)
     qmask = (jnp.arange(q.shape[0], dtype=jnp.int32) < q_len)
     scores3 = 2.0 * sims - norms[:, :, None] - q_norms[None, None, :]
     scores3 = jnp.where(qmask[None, None, :], scores3, NEG)
@@ -194,22 +256,30 @@ def _bucket_topk(q, q_norms, q_len, bucket, k: int):
     return v, doc_idx[i]
 
 
-def make_dense_search(n_buckets: int, k: int, mesh: Mesh | None = None):
+def _unflatten_buckets(flat, n_buckets: int, int8: bool) -> list[dict]:
+    per = 4 if int8 else 3
+    keys = ("sents", "norms", "doc_idx", "scales")[:per]
+    return [dict(zip(keys, flat[per * i: per * (i + 1)]))
+            for i in range(n_buckets)]
+
+
+def make_dense_search(n_buckets: int, k: int, mesh: Mesh | None = None,
+                      int8: bool = False):
     """Build the jitted search fn over device bucket arrays.
 
     Returns fn(q [qmax, d], q_len, *bucket_arrays) -> (scores [k], doc_idx [k])
     with scores = -sqrt(max(-sq_score, 0)) matching reference -L2 values.
     Single-chip (mesh=None) or sharded (per-shard top-k + all_gather merge).
+    int8=True for an index built with dtype="int8" (4 arrays per bucket).
     """
 
     def _score_local(q, q_len, *flat):
-        buckets = [{"sents": flat[3 * i], "norms": flat[3 * i + 1],
-                    "doc_idx": flat[3 * i + 2]} for i in range(n_buckets)]
+        buckets = _unflatten_buckets(flat, n_buckets, int8)
         q = q.astype(jnp.float32)
         q_norms = jnp.sum(q * q, axis=1)
         vs, ds = [], []
         for b in buckets:
-            v, d = _bucket_topk(q.astype(b["sents"].dtype), q_norms, q_len, b, k)
+            v, d = _bucket_topk(q, q_norms, q_len, b, k)
             vs.append(v)
             ds.append(d)
         v = jnp.concatenate(vs)
@@ -235,7 +305,8 @@ def make_dense_search(n_buckets: int, k: int, mesh: Mesh | None = None):
         vk, ik = jax.lax.top_k(v_all.reshape(-1), k)
         return _finish(vk, d_all.reshape(-1)[ik])
 
-    in_specs = [P(), P()] + [P("shard"), P("shard"), P("shard")] * n_buckets
+    per = 4 if int8 else 3
+    in_specs = [P(), P()] + [P("shard")] * (per * n_buckets)
     fn = shard_map(_sharded, mesh=mesh, in_specs=tuple(in_specs),
                    out_specs=(P(), P()), check_vma=False)
     return jax.jit(fn)
@@ -245,6 +316,8 @@ def flatten_device_buckets(device_buckets: list[dict]) -> list:
     flat = []
     for b in device_buckets:
         flat.extend([b["sents"], b["norms"], b["doc_idx"]])
+        if "scales" in b:
+            flat.append(b["scales"])
     return flat
 
 
@@ -252,8 +325,14 @@ def _bucket_topk_batched(q, q_norms, q_lens, bucket, k: int):
     """q: [B, Qmax, d]; -> (scores [B, k], doc idx [B, k]) for one bucket."""
     sents, norms, doc_idx = bucket["sents"], bucket["norms"], bucket["doc_idx"]
     bq, qmax, d = q.shape
-    sims = jnp.einsum("bqd,nsd->bnsq", q, sents,
-                      preferred_element_type=jnp.float32)
+    if "scales" in bucket:
+        sims = jnp.einsum("bqd,nsd->bnsq", q.astype(jnp.bfloat16),
+                          sents.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        sims = sims * bucket["scales"][None, :, :, None]
+    else:
+        sims = jnp.einsum("bqd,nsd->bnsq", q.astype(sents.dtype), sents,
+                          preferred_element_type=jnp.float32)
     qmask = (jnp.arange(qmax, dtype=jnp.int32)[None, :] < q_lens[:, None])
     scores4 = 2.0 * sims - norms[None, :, :, None] - q_norms[:, None, None, :]
     scores4 = jnp.where(qmask[:, None, None, :], scores4, NEG)
@@ -264,7 +343,7 @@ def _bucket_topk_batched(q, q_norms, q_lens, bucket, k: int):
     return v, doc_idx[i]
 
 
-def make_dense_search_batched(n_buckets: int, k: int):
+def make_dense_search_batched(n_buckets: int, k: int, int8: bool = False):
     """Batched-query variant (single device): amortizes the corpus read over
     a whole query batch -- the production serving shape.
 
@@ -274,14 +353,12 @@ def make_dense_search_batched(n_buckets: int, k: int):
 
     @jax.jit
     def search(q, q_lens, *flat):
-        buckets = [{"sents": flat[3 * i], "norms": flat[3 * i + 1],
-                    "doc_idx": flat[3 * i + 2]} for i in range(n_buckets)]
+        buckets = _unflatten_buckets(flat, n_buckets, int8)
         qf = q.astype(jnp.float32)
         q_norms = jnp.sum(qf * qf, axis=2)
         vs, ds = [], []
         for b in buckets:
-            v, dd = _bucket_topk_batched(q.astype(b["sents"].dtype), q_norms,
-                                         q_lens, b, k)
+            v, dd = _bucket_topk_batched(q, q_norms, q_lens, b, k)
             vs.append(v)
             ds.append(dd)
         v = jnp.concatenate(vs, axis=1)

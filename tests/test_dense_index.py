@@ -76,6 +76,89 @@ def test_truncation_to_largest_bucket(rng):
     assert idx.buckets[-1]["sents"].shape[1] == 24
 
 
+def dequantized(idx):
+    """Reconstruct per-doc float reps exactly as stored (scale * int8)."""
+    out = {}
+    for b in idx.buckets:
+        for row, di in enumerate(b["doc_idx"]):
+            if di < 0:
+                continue
+            ln = idx.doc_lens[di]
+            out[int(di)] = (b["sents"][row, :ln].astype(np.float32)
+                            * b["scales"][row, :ln, None])
+    return [out[i] for i in range(len(out))]
+
+
+def test_int8_search_exact_on_stored_values(rng):
+    """score must equal the oracle computed on the DEQUANTIZED stored reps
+    (quantization moves the vectors; the scoring math itself is exact)."""
+    reps, pids = make_corpus(rng)
+    idx = build_dense_index(reps, pids, dtype="int8")
+    assert idx.is_int8 and idx.buckets[0]["sents"].dtype == np.int8
+    dev = idx.device_arrays()
+    search = make_dense_search(len(dev), k=10, int8=True)
+    q = rng.normal(size=(5, 16)).astype(np.float32)
+    qpad = np.zeros((8, 16), np.float32)
+    qpad[:5] = q
+    scores, docs = search(jnp.asarray(qpad), jnp.int32(5),
+                          *flatten_device_buckets(dev))
+    want = brute(q, dequantized(idx))
+    order = np.argsort(-want)
+    np.testing.assert_array_equal(np.asarray(docs), order[:10])
+    # bf16 upcast path: matmul rounding ~1e-2 on unnormalized vectors
+    np.testing.assert_allclose(np.asarray(scores), want[order[:10]],
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_int8_recall_vs_bf16(rng):
+    """top-k recall of the int8 index vs exact f32 scoring on a corpus with
+    realistic (768-d, unit-ish norm) embeddings."""
+    d = 768
+    reps = [np.random.default_rng(i).normal(size=(int(rng.integers(1, 12)), d))
+            .astype(np.float32) / np.sqrt(d) for i in range(300)]
+    pids = [f"p{i}" for i in range(300)]
+    exact = build_dense_index(reps, pids, dtype=np.float32)
+    quant = build_dense_index(reps, pids, dtype="int8")
+    k = 50
+    s_f32 = make_dense_search(len(exact.buckets), k=k)
+    s_int8 = make_dense_search(len(quant.buckets), k=k, int8=True)
+    hits = total = 0
+    for qi in range(4):
+        q = np.random.default_rng(1000 + qi).normal(size=(8, d)).astype(np.float32) / np.sqrt(d)
+        _, d_f32 = s_f32(jnp.asarray(q), jnp.int32(8),
+                         *flatten_device_buckets(exact.device_arrays()))
+        _, d_i8 = s_int8(jnp.asarray(q), jnp.int32(8),
+                         *flatten_device_buckets(quant.device_arrays()))
+        hits += len(set(np.asarray(d_f32).tolist())
+                    & set(np.asarray(d_i8).tolist()))
+        total += k
+    assert hits / total >= 0.96, hits / total
+
+
+def test_int8_sharded_save_load_gather(rng, tmp_path):
+    reps, pids = make_corpus(rng, n_docs=96)
+    idx = build_dense_index(reps, pids, n_shards=8, dtype="int8")
+    idx.save(tmp_path / "i8")
+    idx2 = DenseBucketIndex.load(tmp_path / "i8")
+    assert idx2.is_int8
+    np.testing.assert_array_equal(idx.buckets[0]["scales"],
+                                  idx2.buckets[0]["scales"])
+    mesh = make_serving_mesh()
+    dev = idx2.device_arrays(mesh)
+    search = make_dense_search(len(dev), k=12, mesh=mesh, int8=True)
+    q = rng.normal(size=(8, 16)).astype(np.float32)
+    scores, docs = search(jnp.asarray(q), jnp.int32(8),
+                          *flatten_device_buckets(dev))
+    want = brute(q, dequantized(idx2))
+    order = np.argsort(-want)
+    np.testing.assert_array_equal(np.asarray(docs), order[:12])
+    # gather_doc_reps dequantizes for the rerank stage
+    mv = idx2.gather_doc_reps([int(docs[0])], max_sents=12)
+    ln = int(mv.lens[0])
+    np.testing.assert_allclose(np.asarray(mv.embed)[0, :ln],
+                               dequantized(idx2)[int(docs[0])], rtol=1e-6)
+
+
 def test_bf16_save_load_roundtrip(rng, tmp_path):
     import ml_dtypes
     reps, pids = make_corpus(rng, n_docs=12)
