@@ -225,6 +225,16 @@ def cmd_preprocess(args):
     pp.main(args)
 
 
+def cmd_ner(args):
+    from .data import ner
+    if args.extractor == "scispacy":
+        extractor = ner.scispacy_entity_extractor(args.spacy_model)
+    else:
+        extractor = ner.simple_entity_extractor
+    n = ner.write_ner_file(args.abstracts, args.out, extractor)
+    logging.info("wrote NER entities for %d papers -> %s", n, args.out)
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="aspire_tpu")
     sub = p.add_subparsers(dest="subcommand", required=True)
@@ -313,6 +323,16 @@ def build_parser():
     pp.add_argument("--extra", help="json dict of pipeline-specific options")
     pp.add_argument("--log_fname")
     pp.set_defaults(fn=cmd_preprocess)
+
+    n = sub.add_parser("ner", help="extract entities into {dataset}-ner.jsonl")
+    n.add_argument("--abstracts", required=True,
+                   help="abstracts-{dataset}.jsonl input")
+    n.add_argument("--out", required=True)
+    n.add_argument("--extractor", choices=["simple", "scispacy"],
+                   default="simple")
+    n.add_argument("--spacy-model", default="en_core_sci_sm")
+    n.add_argument("--log_fname")
+    n.set_defaults(fn=cmd_ner)
     return p
 
 

@@ -27,17 +27,38 @@ import pickle
 from .preprocess import sentencize, exclude_abstract
 
 
-def filter_metadata(meta_rows, require_fields=("abstract", "title")) -> list[dict]:
-    """Filter S2ORC metadata records to full-text parsed papers
-    (pre_proc_gorc.py:43-89): must have a grobid parse, text, and the
-    required fields non-empty."""
+def _is_nan(value) -> bool:
+    """Missing-value check matching pandas NaN semantics on S2ORC metadata
+    TSVs: absent, None, empty string, or a float NaN."""
+    if value is None or value == "":
+        return True
+    return isinstance(value, float) and value != value
+
+
+def filter_metadata(meta_rows, require_fields=("abstract", "title"),
+                    filter_nan_cols=None) -> list[dict]:
+    """Filter S2ORC metadata records to full-text parsed papers.
+
+    Mirrors pre_proc_gorc.py:25-89 ('full text' method): keep rows whose
+    ``has_grobid_text`` column is true (`filter_for_fulltext`, :39), and --
+    when `filter_nan_cols` is given -- drop rows with a missing/NaN value in
+    any of those columns (the reference's `filter_nan_cols` argument, :49-50).
+    Rows carrying an inline ``grobid_parse`` (full-paper jsons rather than
+    metadata TSV rows) or a truthy ``has_grobid`` are also accepted as
+    full-text.  `require_fields` must additionally be present and non-empty.
+    """
     out = []
     for row in meta_rows:
-        if not row.get("has_grobid") and not row.get("grobid_parse"):
+        has_fulltext = (bool(row.get("has_grobid_text"))
+                        or bool(row.get("has_grobid"))
+                        or bool(row.get("grobid_parse")))
+        if not has_fulltext:
             continue
         if row.get("has_pdf_parse") is False:
             continue
         if any(not row.get(f) for f in require_fields):
+            continue
+        if filter_nan_cols and any(_is_nan(row.get(c)) for c in filter_nan_cols):
             continue
         out.append(row)
     return out

@@ -45,6 +45,41 @@ def simple_entity_extractor(sentence: str) -> list[str]:
     return out
 
 
+def scispacy_entity_extractor(model_name: str = "en_core_sci_sm",
+                              labels: set[str] | None = None):
+    """Build an extractor backed by a (sci)spacy NER pipeline.
+
+    The reference extracts entities with the external PURE scierc model
+    (src/pre_process/extract_entities.py:18-129); scispacy's scientific NER
+    is the nearest stand-in that installs from pip.  Gated on availability:
+    raises ImportError with guidance when spacy/the model is absent (neither
+    ships in this image), so callers fall back to `simple_entity_extractor`.
+
+    Returns sentence -> [entity strings], matching the per-sentence contract
+    of extract_ner_spans (:103-129).
+    """
+    try:
+        import spacy
+    except ImportError as e:  # pragma: no cover - spacy not in this image
+        raise ImportError(
+            "scispacy extractor needs `pip install spacy scispacy` and the "
+            f"model {model_name!r}; use simple_entity_extractor offline") from e
+    nlp = spacy.load(model_name)
+
+    def extract(sentence: str) -> list[str]:
+        doc = nlp(sentence)
+        return [ent.text for ent in doc.ents
+                if labels is None or ent.label_ in labels]
+
+    return extract
+
+
+EXTRACTORS = {
+    "simple": lambda: simple_entity_extractor,
+    "scispacy": scispacy_entity_extractor,
+}
+
+
 def write_ner_file(abstracts_jsonl: str, out_path: str,
                    extractor: Callable[[str], list[str]] | None = None) -> int:
     """abstracts-{name}.jsonl -> {name}-ner.jsonl ({pid: per-sentence lists})."""

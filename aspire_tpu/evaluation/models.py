@@ -178,7 +178,8 @@ class AspireSimilarityModel(SimilarityModel):
             elif agg == "cosine_max":
                 qn = q.embed / jnp.linalg.norm(q.embed, axis=-1, keepdims=True).clip(1e-9)
                 cn = c.embed / jnp.linalg.norm(c.embed, axis=-1, keepdims=True).clip(1e-9)
-                sims_mat = jnp.einsum("bqd,bcd->bqc", qn, cn)
+                sims_mat = jnp.einsum("bqd,bcd->bqc", qn, cn,
+                                      precision=jax.lax.Precision.HIGHEST)
                 mask = q.sent_mask()[:, :, None] * c.sent_mask()[:, None, :]
                 sims = jnp.max(jnp.where(mask > 0, sims_mat, -jnp.inf), axis=(1, 2))
             else:

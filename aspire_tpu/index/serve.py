@@ -66,19 +66,27 @@ def l2max_search(q_sents, q_len, sents, doc_ids, n_docs: int, k: int):
 
 
 def make_sharded_search(mesh: Mesh, n_docs: int, k: int):
-    """Build the jitted multi-chip search: per-shard scoring + ICI max merge.
+    """Build the jitted multi-chip search: per-shard top-k + all_gather merge.
 
     Index arrays must be sharded over `shard` on axis 0 ([n_shards, L, ...]).
     The returned fn takes (q_sents, q_len, sents, doc_ids) with the query
     replicated, and returns replicated (top-k scores, top-k doc indices).
+
+    Documents never span shards (build_index_from_reps packs whole docs), so
+    each shard's per-doc scores are complete: merge by gathering the k local
+    winners per shard and re-top-k'ing the n_shards*k pool.  ICI moves
+    2*k*n_shards values instead of the full n_docs score vector the previous
+    pmax merge all-reduced.
     """
 
     def _local(q_sents, q_len, sents, doc_ids):
         # block-local views: sents [1, L, d]; doc_ids [1, L]
         scores = _per_doc_scores(q_sents, q_len, sents[0], doc_ids[0], n_docs)
-        scores = jax.lax.pmax(scores, "shard")
-        values, idx = jax.lax.top_k(scores, k)
-        return values, idx
+        loc_v, loc_i = jax.lax.top_k(scores, min(k, n_docs))
+        all_v = jax.lax.all_gather(loc_v, "shard").reshape(-1)
+        all_i = jax.lax.all_gather(loc_i, "shard").reshape(-1)
+        values, pos = jax.lax.top_k(all_v, k)
+        return values, all_i[pos]
 
     fn = shard_map(
         _local, mesh=mesh,

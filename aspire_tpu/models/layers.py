@@ -4,6 +4,13 @@ SoftmaxMixLayers lives in encoders.py (BiEncoder's scalar mix).  The rest of
 the reference's shared layers are provided here for model-building parity:
 FeedForwardNet (:18-68), GatedAttention (:83-114), StraightThroughEstimator
 (:120-136).
+
+Dormancy note: no model in the reference consumes FeedForwardNet,
+GatedAttention, or StraightThroughEstimator either -- they are defined in
+generic_layers.py but unreferenced anywhere else in src/ (verified by grep).
+They are intentionally parity-only here too: tested building blocks
+(tests/test_layers.py) kept for users porting custom reference models, not
+dead code awaiting wiring.
 """
 from __future__ import annotations
 

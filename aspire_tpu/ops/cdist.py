@@ -21,12 +21,20 @@ def pairwise_l2(q: jax.Array, c: jax.Array, squared: bool = False) -> jax.Array:
     Computed via the Gram expansion so the contraction maps onto the MXU.
     `squared=True` skips the sqrt (useful when only argmax/argmin order
     matters and for kernels that fold the sqrt into a later step).
+
+    The contraction runs at Precision.HIGHEST: the TPU MXU rounds f32 inputs
+    to bf16 at default precision, which costs up to ~1.0 absolute distance
+    error at 768-d (measured on v5e) -- enough to flip near-tie rankings vs
+    the reference's f32 torch.cdist.  HIGHEST (multi-pass bf16) brings it to
+    ~0.01.  The bandwidth-bound first-stage corpus scan (index/serve, dense)
+    deliberately keeps default precision + exact rerank instead.
     """
     q = q.astype(jnp.float32)
     c = c.astype(jnp.float32)
     qq = jnp.sum(q * q, axis=-1)[..., :, None]
     cc = jnp.sum(c * c, axis=-1)[..., None, :]
-    qc = jnp.einsum("...nd,...md->...nm", q, c, preferred_element_type=jnp.float32)
+    qc = jnp.einsum("...nd,...md->...nm", q, c, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.maximum(qq + cc - 2.0 * qc, 0.0)
     if squared:
         return d2

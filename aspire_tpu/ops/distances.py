@@ -185,14 +185,17 @@ def jointsm_dist(query: MultiVec, cand: MultiVec, return_pair_sims: bool = False
     symmetric aligned-rep dot scores; returns the negated summed score.
     """
     d = query.dim
+    # HIGHEST: scoring contractions must not round to bf16 (see ops/cdist.py)
+    hi = jax.lax.Precision.HIGHEST
     sims = jnp.einsum(
-        "bqd,bcd->bqc", query.embed, cand.embed, preferred_element_type=jnp.float32
+        "bqd,bcd->bqc", query.embed, cand.embed, preferred_element_type=jnp.float32,
+        precision=hi,
     )
     pair_sm = masked_2d_softmax(sims / math.sqrt(d), query.lens, cand.lens)
     # cand reps aligned to each query sentence: [b, q, d]
-    cand2query = jnp.einsum("bqc,bcd->bqd", pair_sm, cand.embed)
+    cand2query = jnp.einsum("bqc,bcd->bqd", pair_sm, cand.embed, precision=hi)
     # query reps aligned to each cand sentence: [b, c, d]
-    query2cand = jnp.einsum("bqc,bqd->bcd", pair_sm, query.embed)
+    query2cand = jnp.einsum("bqc,bqd->bcd", pair_sm, query.embed, precision=hi)
     q_scores = jnp.sum(query.embed * cand2query, axis=2)
     c_scores = jnp.sum(cand.embed * query2cand, axis=2)
     summed = jnp.sum(q_scores, axis=1) + jnp.sum(c_scores, axis=1)

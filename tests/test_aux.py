@@ -32,6 +32,29 @@ def test_write_ner_file(tmp_path):
     assert "Graph Neural Networks" in data["p1"][0]
 
 
+def test_ner_cli(tmp_path):
+    from aspire_tpu.cli import main
+    with open(tmp_path / "abstracts-toy.jsonl", "w") as f:
+        f.write(json.dumps({"paper_id": "p1", "title": "T",
+                            "abstract": ["We use Graph Neural Networks."]}) + "\n")
+    out = tmp_path / "toy-ner.jsonl"
+    main(["ner", "--abstracts", str(tmp_path / "abstracts-toy.jsonl"),
+          "--out", str(out)])
+    data = json.load(open(out))
+    assert "Graph Neural Networks" in data["p1"][0]
+
+
+def test_scispacy_gate():
+    from aspire_tpu.data.ner import scispacy_entity_extractor
+    try:
+        import spacy  # noqa: F401
+        pytest.skip("spacy installed; gate not exercisable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="simple_entity_extractor"):
+        scispacy_entity_extractor()
+
+
 def test_sample_merge_and_shuffle(tmp_path):
     a = tmp_path / "a.jsonl"
     b = tmp_path / "b.jsonl"

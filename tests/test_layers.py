@@ -71,3 +71,30 @@ def test_filter_metadata():
     ]
     kept = filter_metadata(rows)
     assert [r["paper_id"] for r in kept] == ["a"]
+
+
+def test_filter_metadata_s2orc_schema():
+    """S2ORC metadata-TSV fixture: the reference keeps has_grobid_text==True
+    rows (pre_proc_gorc.py:39) and drops NaN rows per filter_nan_cols
+    (:49-50).  Fields mirror the real S2ORC metadata schema."""
+    def meta(pid, *, has_grobid_text, mag=("Computer Science",), doi="10.1/x",
+             abstract="An abstract.", title="A title."):
+        return {"paper_id": pid, "title": title, "abstract": abstract,
+                "doi": doi, "mag_field_of_study": mag,
+                "has_pdf_parse": True, "has_grobid_text": has_grobid_text,
+                "pdf_parse_s2orc": f"pdf_parses/{pid}.jsonl",
+                "year": 2020, "arxiv_id": None, "pubmed_id": None,
+                "venue": "NAACL", "journal": ""}
+
+    rows = [
+        meta("10", has_grobid_text=True),
+        meta("11", has_grobid_text=False),               # no full text
+        meta("12", has_grobid_text=True, abstract=""),   # empty abstract
+        meta("13", has_grobid_text=True, doi=float("nan")),
+        meta("14", has_grobid_text=True, mag=None, doi=None),
+    ]
+    kept = filter_metadata(rows)
+    assert [r["paper_id"] for r in kept] == ["10", "13", "14"]
+    # the reference's filter_nan_cols semantics: drop rows missing these cols
+    kept = filter_metadata(rows, filter_nan_cols=("doi", "mag_field_of_study"))
+    assert [r["paper_id"] for r in kept] == ["10"]
