@@ -76,13 +76,17 @@ class BertSelfAttention(nn.Module):
     """Self-attention with two backends:
 
     * 'naive': materialized [b, h, t, t] scores + attention-prob dropout
-      (exact HF semantics).  The fused dropout blows the 16 MB VMEM scope at
-      t=512 on v5e -- hence:
+      (exact HF semantics).
     * 'flash': pallas flash_attention with segment-id padding masks; never
       materializes the score matrix.  NOTE: no attention-prob dropout on this
-      path (hidden dropout remains) -- a documented training-regularization
-      deviation; inference is equivalent to ~1e-3.
-    * 'auto' (default): flash for seq_len >= 512, naive otherwise.
+      path (hidden dropout remains); inference is equivalent to ~1e-3.
+    * 'auto' (default): flash for DETERMINISTIC passes at seq_len >= 512
+      (encode/serve speed), naive otherwise -- so training always gets
+      attention-prob dropout (reference regularization semantics,
+      disent_models.py via HF BertSelfAttention).  The full ts+ot train step
+      at t=512/batch 3 compiles and runs within v5e VMEM on the naive path
+      (verified on chip); pass 'flash' explicitly to trade the dropout for
+      flash speed at long sequence lengths.
     """
 
     config: BertConfig
@@ -96,7 +100,9 @@ class BertSelfAttention(nn.Module):
         hd = h // nh
         t = x.shape[1]
         use_flash = (self.attention_impl == "flash" or
-                     (self.attention_impl == "auto" and t >= 512))
+                     (self.attention_impl == "auto" and t >= 512
+                      and deterministic
+                      and jax.default_backend() == "tpu"))
         dense = lambda name: nn.Dense(h, dtype=self.dtype, param_dtype=jnp.float32, name=name)
         q = dense("query")(x).reshape(*x.shape[:2], nh, hd)
         k = dense("key")(x).reshape(*x.shape[:2], nh, hd)

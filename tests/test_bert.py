@@ -106,3 +106,25 @@ def test_bienc_scalar_mix(tiny_pair, rng):
     sm = np.exp(lw) / np.exp(lw).sum()
     want = sum(sm[l] * out.hidden_states[l].numpy()[:, 0] for l in range(len(sm)))
     np.testing.assert_allclose(np.asarray(cls), want, rtol=1e-4, atol=2e-5)
+
+
+def test_auto_attention_trains_with_prob_dropout(rng):
+    """'auto' must route TRAINING passes at t>=512 through the naive path so
+    attention-prob dropout applies (HF BertSelfAttention semantics).  With
+    hidden dropout zeroed, a non-deterministic pass differs from the
+    deterministic one iff attention-prob dropout is live -- the flash path
+    (which skips it) would make them equal."""
+    import jax
+    cfg = BertConfig(vocab_size=64, hidden_size=16, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=32,
+                     max_position_embeddings=512,
+                     hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.5)
+    model = BertModel(cfg)  # attention_impl='auto'
+    tok = jnp.asarray(rng.integers(5, 64, (2, 512)).astype(np.int32))
+    mask = jnp.ones((2, 512), jnp.int32)
+    params = model.init(jax.random.key(0), tok, mask)["params"]
+    det, _ = model.apply({"params": params}, tok, mask, deterministic=True)
+    tr, _ = model.apply({"params": params}, tok, mask, deterministic=False,
+                        rngs={"dropout": jax.random.key(1)})
+    assert not np.allclose(np.asarray(det), np.asarray(tr), atol=1e-6)
