@@ -56,7 +56,9 @@ def cmd_train(args):
         bert_config = BertConfig.tiny(vocab_size=tokenizer.vocab_size)
     # persist the encoder architecture so eval-time loading reconstructs it
     cfg.extra["bert_config"] = dataclasses.asdict(bert_config)
-    model = build_model(cfg.model, bert_config)
+    import jax.numpy as jnp
+    compute_dtype = jnp.bfloat16 if args.bf16_compute else jnp.float32
+    model = build_model(cfg.model, bert_config, dtype=compute_dtype)
     mesh = make_mesh(n_data=args.num_devices)
     trainer = Trainer(model, cfg, args.out, mesh=mesh)
     rng = jax.random.key(args.seed)
@@ -250,6 +252,9 @@ def build_parser():
     t.add_argument("--num-devices", type=int, default=None)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--tiny", action="store_true", help="tiny BERT (smoke test)")
+    t.add_argument("--bf16-compute", action="store_true",
+                   help="bf16 activations (params/optimizer stay f32): ~2x "
+                        "MXU throughput and half the activation HBM on TPU")
     t.add_argument("--fast-tokenizer", action="store_true",
                    help="use the native C++ WordPiece tokenizer")
     t.add_argument("--seq-buckets",

@@ -89,6 +89,44 @@ def main():
                           "value": round((dt + dt_r) * 1000, 3), "unit": "ms",
                           "vs_target_5ms": round((dt + dt_r) * 1000 / 5.0, 3)}))
 
+    # production int8 recipe: int8 first stage at k=64 (exact top-50 is
+    # contained in the int8 top-64 -- RESULTS_r2.md) + exact OT rerank
+    del dev, flat, search
+    idx8 = build_dense_index(doc_reps, [f"p{i}" for i in range(args.docs)],
+                             buckets=(12, 24), dtype="int8")
+    dev8 = idx8.device_arrays()
+    flat8 = flatten_device_buckets(dev8)
+    search8 = make_dense_search(len(dev8), k=64, int8=True)
+
+    def one_search8(acc, qpad, *flat8):
+        v, i = search8(qpad + acc * 0.0, jnp.int32(10), *flat8)
+        return v[0]
+
+    dt8 = timed_loop(one_search8, 30, qpad, *flat8)
+    gb8 = sum(b["sents"].nbytes + b["norms"].nbytes +
+              b.get("scales", np.zeros(0)).nbytes for b in idx8.buckets) / 1e9
+    print(json.dumps({"metric": "l2max_search_ms_per_query_int8",
+                      "docs": args.docs, "k": 64,
+                      "value": round(dt8 * 1000, 3), "unit": "ms",
+                      "effective_gbps": round(gb8 / dt8, 1),
+                      "speedup_vs_bf16": round(dt / dt8, 2)}))
+    cand64 = MultiVec(
+        embed=jnp.asarray(rng.standard_normal((64, 20, d)).astype(np.float32)),
+        lens=jnp.asarray(np.clip(rng.poisson(9, 64), 3, 20).astype(np.int32)))
+
+    def one_rerank64(acc, qe, ce):
+        qq = MultiVec(embed=qe + acc * 0.0, lens=q.lens)
+        qt = MultiVec(embed=jnp.broadcast_to(qq.embed, (64,) + qq.embed.shape[1:]),
+                      lens=jnp.broadcast_to(qq.lens, (64,)))
+        sims, _ = wasserstein_dist(qt, MultiVec(embed=ce, lens=cand64.lens),
+                                   temp=5000.0, return_pair_sims=True)
+        return sims[0]
+
+    dt_r64 = timed_loop(one_rerank64, 300, q.embed, cand64.embed)
+    print(json.dumps({"metric": "end_to_end_query_ms_int8_production",
+                      "value": round((dt8 + dt_r64) * 1000, 3), "unit": "ms",
+                      "vs_target_5ms": round((dt8 + dt_r64) * 1000 / 5.0, 3)}))
+
 
 if __name__ == "__main__":
     main()

@@ -94,3 +94,24 @@ def test_cls_triplet_matches_torch(rng):
     crit = torch.nn.TripletMarginLoss(margin=1, p=2, reduction="sum")
     want = float(crit(torch.tensor(q), torch.tensor(p), torch.tensor(n)))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_train_loss_bf16_compute(rng):
+    """Mixed precision (bf16 activations, f32 params): loss and grads stay
+    finite and f32, and the loss lands near the f32-compute value."""
+    hp = hp_for("sbalisentbienc", score_aggregation="l2wasserstein",
+                sentsup_loss_prop=1.0, sent_loss_prop=0.5)
+    batch = {"query": make_feats(rng), "pos": make_feats(rng, with_align=True)}
+    losses = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        model = build_model(hp, CFG, dtype=dtype)
+        params = model.init_params(jax.random.key(0))
+        loss, grads = jax.value_and_grad(model.train_loss)(
+            params, batch, jax.random.key(1))
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        assert all(l.dtype == jnp.float32 for l in leaves)
+        losses[dtype] = float(loss)
+    assert np.isfinite(losses[jnp.bfloat16])
+    assert abs(losses[jnp.bfloat16] - losses[jnp.float32]) < (
+        0.05 * abs(losses[jnp.float32]) + 0.05)
