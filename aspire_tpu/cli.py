@@ -60,7 +60,8 @@ def cmd_train(args):
     compute_dtype = jnp.bfloat16 if args.bf16_compute else jnp.float32
     model = build_model(cfg.model, bert_config, dtype=compute_dtype)
     mesh = make_mesh(n_data=args.num_devices)
-    trainer = Trainer(model, cfg, args.out, mesh=mesh)
+    trainer = Trainer(model, cfg, args.out, mesh=mesh,
+                      fused_accum=args.fused_accum)
     rng = jax.random.key(args.seed)
     state = trainer.init_state(rng)
     if args.init_hf_dir:
@@ -255,6 +256,11 @@ def build_parser():
     t.add_argument("--bf16-compute", action="store_true",
                    help="bf16 activations (params/optimizer stay f32): ~2x "
                         "MXU throughput and half the activation HBM on TPU")
+    t.add_argument("--fused-accum", action="store_true",
+                   help="fuse gradient accumulation into one wide encode "
+                        "(exact same summed gradients; measured at parity "
+                        "with the scan at the reference t=512 shape -- "
+                        "helps when micro batches underfill the chip)")
     t.add_argument("--fast-tokenizer", action="store_true",
                    help="use the native C++ WordPiece tokenizer")
     t.add_argument("--seq-buckets",

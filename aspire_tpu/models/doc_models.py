@@ -145,6 +145,63 @@ class ConSentDocModel:
             loss = loss + self.cd_svalue_l1_prop * _svalue_l1(q_sents, p_sents)
         return loss
 
+    def train_loss_grouped(self, params: dict, superbatch: dict, rng: jax.Array,
+                           train: bool = True):
+        """Fused gradient accumulation: one wide encode + vmapped group losses.
+
+        superbatch: pytree with leading [n_micro, micro_batch, ...] axes (the
+        same layout the scan-accumulation step consumes).  Encodes all
+        n_micro * micro examples as ONE batch -- n_micro x the MXU work per
+        launch vs the reference's sequential microbatches
+        (trainer.py:139-153) -- then applies each microbatch's loss (with its
+        own group-local in-batch-negative permutation, derived from the same
+        per-micro key split as the scan path) and sums.  The gradient of the
+        sum equals the scan's summed microbatch gradients exactly: same
+        group structure, same reductions, bitwise-matching permutations.
+        Dropout streams differ from the scan path (one wide stream instead
+        of per-micro streams) -- distributionally equivalent.
+
+        Returns (summed loss, per-group losses [n_micro]).
+        """
+        leaves = jax.tree_util.tree_leaves(superbatch)
+        n_micro, gb = leaves[0].shape[:2]
+        keys = jax.random.split(rng, n_micro)  # scan-identical per-micro keys
+        # per-micro (perm, q, p, n) rngs exactly as train_loss splits them
+        sub = jax.vmap(lambda k: jax.random.split(k, 4))(keys)  # [n_micro, 4]
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((n_micro * gb,) + x.shape[2:]), superbatch)
+        det = not train
+        q_cls, q_sents = self.encode(params, flat["query"], deterministic=det,
+                                     rng=sub[0, 1])
+        p_cls, p_sents = self.encode(params, flat["pos"], deterministic=det,
+                                     rng=sub[0, 2])
+        has_neg = "neg" in superbatch
+        if has_neg:
+            n_cls, n_sents = self.encode(params, flat["neg"], deterministic=det,
+                                         rng=sub[0, 3])
+        regroup = lambda x: x.reshape((n_micro, gb) + x.shape[1:])
+
+        def group_loss(batch_g, perm_key, qc, qe, ql, pc, pe, pl, *neg):
+            q_s = MultiVec(embed=qe, lens=ql)
+            p_s = MultiVec(embed=pe, lens=pl)
+            if has_neg:
+                nc, ne, nl = neg
+                n_s = MultiVec(embed=ne, lens=nl)
+                perm = None
+            else:
+                perm = jax.random.permutation(perm_key, gb)
+                nc = pc[perm]
+                n_s = MultiVec(embed=pe[perm], lens=pl[perm])
+            return self._combine_losses(batch_g, qc, q_s, pc, p_s, nc, n_s, perm)
+
+        args = [superbatch, sub[:, 0], regroup(q_cls), regroup(q_sents.embed),
+                regroup(q_sents.lens), regroup(p_cls), regroup(p_sents.embed),
+                regroup(p_sents.lens)]
+        if has_neg:
+            args += [regroup(n_cls), regroup(n_sents.embed), regroup(n_sents.lens)]
+        losses = jax.vmap(group_loss)(*args)
+        return jnp.sum(losses), losses
+
 
 class WordSentAlignModel(ConSentDocModel):
     """miswordbienc / miswordpolyenc (disent_models.py:208-535,840-925)."""
@@ -244,6 +301,37 @@ class SpecterDocModel:
             perm = jax.random.permutation(perm_rng, q_cls.shape[0])
             n_cls = p_cls[perm]
         return _cls_l2_triplet(q_cls, p_cls, n_cls)
+
+    def train_loss_grouped(self, params: dict, superbatch: dict, rng: jax.Array,
+                           train: bool = True):
+        """Fused accumulation for the CLS bi-encoder (see
+        ConSentDocModel.train_loss_grouped)."""
+        leaves = jax.tree_util.tree_leaves(superbatch)
+        n_micro, gb = leaves[0].shape[:2]
+        keys = jax.random.split(rng, n_micro)
+        sub = jax.vmap(lambda k: jax.random.split(k, 4))(keys)
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((n_micro * gb,) + x.shape[2:]), superbatch)
+        det = not train
+        q_cls, _ = self.encode(params, flat["query"], deterministic=det, rng=sub[0, 1])
+        p_cls, _ = self.encode(params, flat["pos"], deterministic=det, rng=sub[0, 2])
+        has_neg = "neg" in superbatch
+        if has_neg:
+            n_cls, _ = self.encode(params, flat["neg"], deterministic=det, rng=sub[0, 3])
+        regroup = lambda x: x.reshape((n_micro, gb) + x.shape[1:])
+
+        def group_loss(perm_key, qc, pc, *neg):
+            if has_neg:
+                nc = neg[0]
+            else:
+                nc = pc[jax.random.permutation(perm_key, gb)]
+            return _cls_l2_triplet(qc, pc, nc)
+
+        args = [sub[:, 0], regroup(q_cls), regroup(p_cls)]
+        if has_neg:
+            args.append(regroup(n_cls))
+        losses = jax.vmap(group_loss)(*args)
+        return jnp.sum(losses), losses
 
 
 def _sent_models():

@@ -71,7 +71,7 @@ class Trainer:
     """
 
     def __init__(self, model, run_config: RunConfig, model_path: str,
-                 mesh=None, early_stop: bool = True):
+                 mesh=None, early_stop: bool = True, fused_accum: bool = False):
         self.model = model
         self.cfg = run_config
         tp = run_config.train
@@ -80,6 +80,11 @@ class Trainer:
         self.model_path.mkdir(parents=True, exist_ok=True)
         self.mesh = mesh if mesh is not None else make_mesh()
         self.early_stop = early_stop
+        # fused_accum: encode the whole [n_micro, micro] superbatch as ONE
+        # wide batch instead of a sequential scan -- exact same summed
+        # gradient (model.train_loss_grouped), far better MXU utilization at
+        # the reference's tiny micro batches.
+        self.fused_accum = bool(fused_accum) and hasattr(model, "train_loss_grouped")
 
         self.update_every = 1
         if tp.accumulated_batch_size and tp.accumulated_batch_size > 0:
@@ -131,22 +136,29 @@ class Trainer:
         # NOTE: no explicit out_shardings -- state enters replicated and XLA
         # keeps it so; pinning out_shardings was observed to force a second
         # full compile (output layouts diverge from the init layouts).
+        fused = self.fused_accum
+
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, superbatch, rng):
             n_micro = jax.tree_util.tree_leaves(superbatch)[0].shape[0]
 
-            def micro(carry, xs):
-                grads_acc, loss_acc = carry
-                batch, key = xs
-                loss, grads = jax.value_and_grad(model.train_loss)(
-                    state.params, batch, key, True)
-                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-                return (grads_acc, loss_acc + loss), loss
+            if fused:
+                (loss_sum, losses), grads = jax.value_and_grad(
+                    model.train_loss_grouped, has_aux=True)(
+                        state.params, superbatch, rng, True)
+            else:
+                def micro(carry, xs):
+                    grads_acc, loss_acc = carry
+                    batch, key = xs
+                    loss, grads = jax.value_and_grad(model.train_loss)(
+                        state.params, batch, key, True)
+                    grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                    return (grads_acc, loss_acc + loss), loss
 
-            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            keys = jax.random.split(rng, n_micro)
-            (grads, loss_sum), losses = jax.lax.scan(
-                micro, (zero_grads, 0.0), (superbatch, keys))
+                zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+                keys = jax.random.split(rng, n_micro)
+                (grads, loss_sum), losses = jax.lax.scan(
+                    micro, (zero_grads, 0.0), (superbatch, keys))
             # failure detection: suppress the update when any micro loss is
             # non-finite (a guard the reference lacks, SURVEY.md aux #3);
             # zeroing the grads keeps optimizer-state updates benign too.

@@ -115,3 +115,51 @@ def test_train_loss_bf16_compute(rng):
     assert np.isfinite(losses[jnp.bfloat16])
     assert abs(losses[jnp.bfloat16] - losses[jnp.float32]) < (
         0.05 * abs(losses[jnp.float32]) + 0.05)
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("cospecter", {}),
+    ("miswordbienc", {"score_aggregation": "l2wasserstein", "sent_sm_temp": 5000.0}),
+    ("sbalisentbienc", {"score_aggregation": "l2wasserstein",
+                        "sentsup_loss_prop": 1.0, "sent_loss_prop": 0.5,
+                        "abs_loss_prop": 0.1}),
+])
+def test_fused_accum_matches_scan(rng, name, kw):
+    """train_loss_grouped must reproduce the scan path's summed loss and
+    gradients exactly (deterministic mode isolates the permutation/grouping
+    semantics from dropout-stream differences)."""
+    hp = hp_for(name, **kw)
+    model = build_model(hp, CFG)
+    params = model.init_params(jax.random.key(0))
+    n_micro, gb = 3, 4
+    with_align = name == "sbalisentbienc"
+
+    def stack(feat_fn):
+        micros = [feat_fn() for _ in range(n_micro)]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *micros)
+
+    superbatch = {
+        "query": stack(lambda: make_feats(rng, b=gb)),
+        "pos": stack(lambda: make_feats(rng, b=gb, with_align=with_align)),
+    }
+    key = jax.random.key(7)
+
+    # scan-path reference: sum of per-micro losses/grads with the same keys
+    keys = jax.random.split(key, n_micro)
+    ref_loss, ref_grads = 0.0, None
+    for i in range(n_micro):
+        batch_i = jax.tree_util.tree_map(lambda x: x[i], superbatch)
+        li, gi = jax.value_and_grad(model.train_loss)(
+            params, batch_i, keys[i], False)
+        ref_loss += float(li)
+        ref_grads = gi if ref_grads is None else jax.tree_util.tree_map(
+            jnp.add, ref_grads, gi)
+
+    (total, losses), grads = jax.value_and_grad(
+        model.train_loss_grouped, has_aux=True)(params, superbatch, key, False)
+    assert losses.shape == (n_micro,)
+    np.testing.assert_allclose(float(total), ref_loss, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(grads),
+                    jax.tree_util.tree_leaves(ref_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)

@@ -111,3 +111,41 @@ def test_train_step_batch_is_sharded(tmp_path, tok, rng):
                           micro_batch=16, n_micro=1, seq_len=32)
     state = trainer.train(state, iter(stream))
     assert int(state.step) == 2
+
+
+def test_fused_accum_step_matches_scan_on_mesh(tmp_path, tok, rng):
+    """One full fused train step on the 8-device mesh produces the same
+    updated params as the scan step (dropout zeroed so the only difference
+    left would be grouping/permutation semantics)."""
+    write_triples(tmp_path / "t.jsonl", 32, rng, with_align=True)
+    cfg = RunConfig.from_dict({
+        "model_name": "sbalisentbienc", "score_aggregation": "l2wasserstein",
+        "sent_sm_temp": 5000.0, "sentsup_loss_prop": 1.0, "sent_loss_prop": 0.5,
+        "train_size": 32, "batch_size": 8, "accumulated_batch_size": 16,
+        "num_epochs": 1, "learning_rate": 1e-4, "num_warmup_steps": 2,
+        "lr_decay_method": "warmuplin", "es_check_every": 100,
+        "max_sents": 4, "update_rule": "adam", "decay_lr_every": 1})
+    mesh = make_mesh()
+    bc = BertConfig.tiny(hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    model = build_model(cfg.model, bc)
+    stream = TripleStream(str(tmp_path / "t.jsonl"), tok, cfg.model,
+                          micro_batch=8, n_micro=2, seq_len=32,
+                          align_type="cc_align")
+    sb = next(iter(stream))
+
+    results = []
+    for fused in (False, True):
+        trainer = Trainer(model, cfg, str(tmp_path / f"run-{fused}"), mesh=mesh,
+                          early_stop=False, fused_accum=fused)
+        state = trainer.init_state(jax.random.key(1))
+        from aspire_tpu.parallel.mesh import shard_batch
+        batch = shard_batch(sb, mesh, axis=1)
+        state, losses = trainer._train_step(state, batch, jax.random.key(5))
+        results.append((jax.device_get(state.params),
+                        np.sort(np.asarray(losses).ravel())))
+
+    np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(results[0][0]),
+                    jax.tree_util.tree_leaves(results[1][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
