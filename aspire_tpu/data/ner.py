@@ -64,7 +64,14 @@ def scispacy_entity_extractor(model_name: str = "en_core_sci_sm",
         raise ImportError(
             "scispacy extractor needs `pip install spacy scispacy` and the "
             f"model {model_name!r}; use simple_entity_extractor offline") from e
-    nlp = spacy.load(model_name)
+    try:
+        nlp = spacy.load(model_name)
+    except OSError as e:  # pragma: no cover - model package missing
+        # scispacy models install from scispacy's own URLs, not PyPI
+        raise ImportError(
+            f"spacy model {model_name!r} is not installed (scispacy models "
+            "install via `pip install <scispacy model URL>`); use "
+            "simple_entity_extractor offline") from e
 
     def extract(sentence: str) -> list[str]:
         doc = nlp(sentence)
@@ -72,12 +79,6 @@ def scispacy_entity_extractor(model_name: str = "en_core_sci_sm",
                 if labels is None or ent.label_ in labels]
 
     return extract
-
-
-EXTRACTORS = {
-    "simple": lambda: simple_entity_extractor,
-    "scispacy": scispacy_entity_extractor,
-}
 
 
 def write_ner_file(abstracts_jsonl: str, out_path: str,

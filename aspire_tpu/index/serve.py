@@ -78,11 +78,15 @@ def make_sharded_search(mesh: Mesh, n_docs: int, k: int):
     2*k*n_shards values instead of the full n_docs score vector the previous
     pmax merge all-reduced.
     """
+    if k > n_docs:
+        # the gathered pool would hold NEG-filled duplicates of real doc ids,
+        # so the final top-k could return the same doc twice -- refuse loudly
+        raise ValueError(f"k={k} exceeds the index's n_docs={n_docs}")
 
     def _local(q_sents, q_len, sents, doc_ids):
         # block-local views: sents [1, L, d]; doc_ids [1, L]
         scores = _per_doc_scores(q_sents, q_len, sents[0], doc_ids[0], n_docs)
-        loc_v, loc_i = jax.lax.top_k(scores, min(k, n_docs))
+        loc_v, loc_i = jax.lax.top_k(scores, k)
         all_v = jax.lax.all_gather(loc_v, "shard").reshape(-1)
         all_i = jax.lax.all_gather(loc_i, "shard").reshape(-1)
         values, pos = jax.lax.top_k(all_v, k)

@@ -72,6 +72,17 @@ class BertEmbeddings(nn.Module):
         return x.astype(self.dtype)
 
 
+def _select_flash(attention_impl: str, seq_len: int, deterministic: bool,
+                  backend: str) -> bool:
+    """Backend-selection policy for BertSelfAttention (unit-testable: the
+    pallas flash kernel only lowers on TPU, so CI can't exercise the TPU
+    branch behaviorally)."""
+    if attention_impl == "flash":
+        return True
+    return (attention_impl == "auto" and seq_len >= 512 and deterministic
+            and backend == "tpu")
+
+
 class BertSelfAttention(nn.Module):
     """Self-attention with two backends:
 
@@ -99,10 +110,8 @@ class BertSelfAttention(nn.Module):
         h, nh = cfg.hidden_size, cfg.num_attention_heads
         hd = h // nh
         t = x.shape[1]
-        use_flash = (self.attention_impl == "flash" or
-                     (self.attention_impl == "auto" and t >= 512
-                      and deterministic
-                      and jax.default_backend() == "tpu"))
+        use_flash = _select_flash(self.attention_impl, t, deterministic,
+                                  jax.default_backend())
         dense = lambda name: nn.Dense(h, dtype=self.dtype, param_dtype=jnp.float32, name=name)
         q = dense("query")(x).reshape(*x.shape[:2], nh, hd)
         k = dense("key")(x).reshape(*x.shape[:2], nh, hd)

@@ -85,6 +85,10 @@ class Trainer:
         # gradient (model.train_loss_grouped), far better MXU utilization at
         # the reference's tiny micro batches.
         self.fused_accum = bool(fused_accum) and hasattr(model, "train_loss_grouped")
+        if fused_accum and not self.fused_accum:
+            log.warning("fused_accum requested but %s has no "
+                        "train_loss_grouped; using the scan path",
+                        type(model).__name__)
 
         self.update_every = 1
         if tp.accumulated_batch_size and tp.accumulated_batch_size > 0:

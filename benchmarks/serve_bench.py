@@ -67,13 +67,13 @@ def main():
         lens=jnp.asarray(np.clip(rng.poisson(9, args.k), 3, 20).astype(np.int32)))
     q = MultiVec(embed=qpad[None, :, :], lens=jnp.asarray([10], np.int32))
 
-    def mk_rerank(scaling, max_iters):
+    def mk_rerank(scaling, max_iters, cand_lens):
         def one_rerank(acc, qe, ce):
             qq = MultiVec(embed=qe + acc * 0.0, lens=q.lens)
             k = ce.shape[0]
             qt = MultiVec(embed=jnp.broadcast_to(qq.embed, (k,) + qq.embed.shape[1:]),
                           lens=jnp.broadcast_to(qq.lens, (k,)))
-            sims, _ = wasserstein_dist(qt, MultiVec(embed=ce, lens=cand.lens),
+            sims, _ = wasserstein_dist(qt, MultiVec(embed=ce, lens=cand_lens),
                                        temp=5000.0, scaling=scaling,
                                        return_pair_sims=True,
                                        max_iters=max_iters)
@@ -81,7 +81,7 @@ def main():
         return one_rerank
 
     for label, scaling, mi in (("parity", 0.9, 128), ("fast", 0.8, 64)):
-        dt_r = timed_loop(mk_rerank(scaling, mi), 300, q.embed, cand.embed)
+        dt_r = timed_loop(mk_rerank(scaling, mi, cand.lens), 300, q.embed, cand.embed)
         print(json.dumps({"metric": f"ot_rerank_ms_topk_{label}", "k": args.k,
                           "scaling": scaling, "value": round(dt_r * 1000, 3),
                           "unit": "ms"}))
@@ -113,16 +113,8 @@ def main():
     cand64 = MultiVec(
         embed=jnp.asarray(rng.standard_normal((64, 20, d)).astype(np.float32)),
         lens=jnp.asarray(np.clip(rng.poisson(9, 64), 3, 20).astype(np.int32)))
-
-    def one_rerank64(acc, qe, ce):
-        qq = MultiVec(embed=qe + acc * 0.0, lens=q.lens)
-        qt = MultiVec(embed=jnp.broadcast_to(qq.embed, (64,) + qq.embed.shape[1:]),
-                      lens=jnp.broadcast_to(qq.lens, (64,)))
-        sims, _ = wasserstein_dist(qt, MultiVec(embed=ce, lens=cand64.lens),
-                                   temp=5000.0, return_pair_sims=True)
-        return sims[0]
-
-    dt_r64 = timed_loop(one_rerank64, 300, q.embed, cand64.embed)
+    dt_r64 = timed_loop(mk_rerank(0.9, 128, cand64.lens), 300,
+                        q.embed, cand64.embed)
     print(json.dumps({"metric": "end_to_end_query_ms_int8_production",
                       "value": round((dt8 + dt_r64) * 1000, 3), "unit": "ms",
                       "vs_target_5ms": round((dt8 + dt_r64) * 1000 / 5.0, 3)}))

@@ -108,6 +108,19 @@ def test_bienc_scalar_mix(tiny_pair, rng):
     np.testing.assert_allclose(np.asarray(cls), want, rtol=1e-4, atol=2e-5)
 
 
+def test_flash_selection_policy():
+    """The TPU branch can't run on the CPU CI backend, so pin the policy
+    itself: flash only for explicit request, or auto+deterministic+t>=512 on
+    TPU -- training must always take the naive (attention-dropout) path."""
+    from aspire_tpu.models.bert import _select_flash
+    assert _select_flash("flash", 64, False, "cpu")
+    assert _select_flash("auto", 512, True, "tpu")
+    assert not _select_flash("auto", 512, False, "tpu")   # training: dropout
+    assert not _select_flash("auto", 256, True, "tpu")    # short seq
+    assert not _select_flash("auto", 512, True, "cpu")    # pallas TPU-only
+    assert not _select_flash("naive", 512, True, "tpu")
+
+
 def test_auto_attention_trains_with_prob_dropout(rng):
     """'auto' must route TRAINING passes at t>=512 through the naive path so
     attention-prob dropout applies (HF BertSelfAttention semantics).  With
