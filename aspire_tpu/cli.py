@@ -129,10 +129,13 @@ def cmd_build_index(args):
     from .evaluation.models import AspireSimilarityModel
     from .index.dense import build_dense_index
 
+    import jax.numpy as jnp
+    mkw = {"compute_dtype": jnp.bfloat16} if args.bf16_compute else {}
     model = AspireSimilarityModel.from_trained(
         "index-encoder", args.run_dir,
-        AutoTokenizer.from_pretrained(args.tokenizer)) if args.run_dir else \
-        AspireSimilarityModel.from_hf_dir("index-encoder", args.weights_dir)
+        AutoTokenizer.from_pretrained(args.tokenizer), **mkw) if args.run_dir \
+        else AspireSimilarityModel.from_hf_dir("index-encoder",
+                                               args.weights_dir, **mkw)
     corpus, pids = [], []
     for rec in read_jsonl(args.corpus):
         pids.append(rec["paper_id"])
@@ -297,6 +300,8 @@ def build_parser():
     b.add_argument("--bf16", action="store_true")
     b.add_argument("--int8", action="store_true",
                    help="per-sentence-scale int8 storage (half the scan bytes)")
+    b.add_argument("--bf16-compute", action="store_true",
+                   help="encode with bf16 activations (reps stay f32)")
     b.add_argument("--log_fname")
     b.set_defaults(fn=cmd_build_index)
 

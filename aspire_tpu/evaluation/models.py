@@ -143,10 +143,15 @@ class AspireSimilarityModel(SimilarityModel):
     def __init__(self, name: str, bert_config: BertConfig, params, tokenizer,
                  agg: str = "ot", encoding_type: str = "sentence",
                  max_sents: int = 24, batch_size: int = 8,
-                 ot_temp: float = 1.0, blur: float = 0.05, scaling: float = 0.9):
+                 ot_temp: float = 1.0, blur: float = 0.05, scaling: float = 0.9,
+                 compute_dtype=jnp.float32):
         super().__init__(name=name, encoding_type=encoding_type, batch_size=batch_size)
         self.bert_config = bert_config
-        self.encoder = ConSentEncoder(bert_config, max_sents=max_sents)
+        # compute_dtype=bf16: encoder activations in bf16 (params stay f32,
+        # reps come back f32) -- opt-in for bulk corpus encoding; default f32
+        # keeps encode parity with the reference's torch f32 path.
+        self.encoder = ConSentEncoder(bert_config, max_sents=max_sents,
+                                      dtype=compute_dtype)
         self.params = params
         self.tokenizer = tokenizer
         self.max_sents = max_sents
