@@ -169,3 +169,14 @@ def test_flat_bf16_save_load(rng, tmp_path):
                         jnp.int32(3), jnp.asarray(np.asarray(idx2.sents)),
                         jnp.asarray(idx2.doc_ids), 10, 3)
     assert np.isfinite(np.asarray(s)).all()
+
+
+def test_sharded_search_rejects_k_over_n_docs(rng):
+    """k > n_docs would let NEG-filled shard entries alias real doc ids in
+    the gathered merge pool; the builder must refuse loudly."""
+    from aspire_tpu.parallel.mesh import make_serving_mesh
+    reps = [rng.normal(size=(2, 16)).astype(np.float32) for _ in range(3)]
+    idx = build_index_from_reps(reps, list("abc"), n_shards=8)
+    mesh = make_serving_mesh(n_shards=8)
+    with pytest.raises(ValueError, match="n_docs"):
+        make_sharded_search(mesh, idx.n_docs, k=5)
