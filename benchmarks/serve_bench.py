@@ -30,6 +30,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=125_000)
     ap.add_argument("--k", type=int, default=50)
+    ap.add_argument("--int8-only", action="store_true",
+                    help="skip the bf16 index (capacity runs, e.g. "
+                         "--docs 400000: both indexes would not fit HBM)")
     args = ap.parse_args()
 
     d = 768
@@ -41,25 +44,26 @@ def main():
     print(f"building {args.docs}-doc dense index "
           f"(~{lens.sum() * d * 2 / 1e9:.2f} GB bf16)...", flush=True)
     doc_reps = [rng.standard_normal((l, d), dtype=np.float32) * 2 for l in lens]
-    # coarse buckets trade ~25% padding for wide MXU blocks (~580 GB/s)
-    idx = build_dense_index(doc_reps, [f"p{i}" for i in range(args.docs)],
-                            buckets=(12, 24))
-    dev = idx.device_arrays()
-    flat = flatten_device_buckets(dev)
-    search = make_dense_search(len(dev), k=args.k)
-
     qpad = jnp.asarray(np.pad(rng.standard_normal((10, d)).astype(np.float32) * 2,
                               ((0, 6), (0, 0))))
+    dt = 0.0
+    if not args.int8_only:
+        # coarse buckets trade ~25% padding for wide MXU blocks (~580 GB/s)
+        idx = build_dense_index(doc_reps, [f"p{i}" for i in range(args.docs)],
+                                buckets=(12, 24))
+        dev = idx.device_arrays()
+        flat = flatten_device_buckets(dev)
+        search = make_dense_search(len(dev), k=args.k)
 
-    def one_search(acc, qpad, *flat):
-        v, i = search(qpad + acc * 0.0, jnp.int32(10), *flat)
-        return v[0]
+        def one_search(acc, qpad, *flat):
+            v, i = search(qpad + acc * 0.0, jnp.int32(10), *flat)
+            return v[0]
 
-    dt = timed_loop(one_search, 30, qpad, *flat)
-    gb = sum(b["sents"].nbytes + b["norms"].nbytes for b in idx.buckets) / 1e9
-    print(json.dumps({"metric": "l2max_search_ms_per_query",
-                      "docs": args.docs, "value": round(dt * 1000, 3),
-                      "unit": "ms", "effective_gbps": round(gb / dt, 1)}))
+        dt = timed_loop(one_search, 30, qpad, *flat)
+        gb = sum(b["sents"].nbytes + b["norms"].nbytes for b in idx.buckets) / 1e9
+        print(json.dumps({"metric": "l2max_search_ms_per_query",
+                          "docs": args.docs, "value": round(dt * 1000, 3),
+                          "unit": "ms", "effective_gbps": round(gb / dt, 1)}))
 
     # OT rerank of top-k
     cand = MultiVec(
@@ -80,18 +84,19 @@ def main():
             return sims[0]
         return one_rerank
 
-    for label, scaling, mi in (("parity", 0.9, 128), ("fast", 0.8, 64)):
-        dt_r = timed_loop(mk_rerank(scaling, mi, cand.lens), 300, q.embed, cand.embed)
-        print(json.dumps({"metric": f"ot_rerank_ms_topk_{label}", "k": args.k,
-                          "scaling": scaling, "value": round(dt_r * 1000, 3),
-                          "unit": "ms"}))
-        print(json.dumps({"metric": f"end_to_end_query_ms_{label}",
-                          "value": round((dt + dt_r) * 1000, 3), "unit": "ms",
-                          "vs_target_5ms": round((dt + dt_r) * 1000 / 5.0, 3)}))
-
-    # production int8 recipe: int8 first stage at k=64 (exact top-50 is
-    # contained in the int8 top-64 -- RESULTS_r2.md) + exact OT rerank
-    del dev, flat, search
+    if not args.int8_only:
+        for label, scaling, mi in (("parity", 0.9, 128), ("fast", 0.8, 64)):
+            dt_r = timed_loop(mk_rerank(scaling, mi, cand.lens), 300,
+                              q.embed, cand.embed)
+            print(json.dumps({"metric": f"ot_rerank_ms_topk_{label}", "k": args.k,
+                              "scaling": scaling, "value": round(dt_r * 1000, 3),
+                              "unit": "ms"}))
+            print(json.dumps({"metric": f"end_to_end_query_ms_{label}",
+                              "value": round((dt + dt_r) * 1000, 3), "unit": "ms",
+                              "vs_target_5ms": round((dt + dt_r) * 1000 / 5.0, 3)}))
+        # production int8 recipe: int8 first stage at k=64 (exact top-50 is
+        # contained in the int8 top-64 -- RESULTS_r2.md) + exact OT rerank
+        del dev, flat, search
     idx8 = build_dense_index(doc_reps, [f"p{i}" for i in range(args.docs)],
                              buckets=(12, 24), dtype="int8")
     dev8 = idx8.device_arrays()
@@ -105,11 +110,13 @@ def main():
     dt8 = timed_loop(one_search8, 30, qpad, *flat8)
     gb8 = sum(b["sents"].nbytes + b["norms"].nbytes +
               b.get("scales", np.zeros(0)).nbytes for b in idx8.buckets) / 1e9
-    print(json.dumps({"metric": "l2max_search_ms_per_query_int8",
-                      "docs": args.docs, "k": 64,
-                      "value": round(dt8 * 1000, 3), "unit": "ms",
-                      "effective_gbps": round(gb8 / dt8, 1),
-                      "speedup_vs_bf16": round(dt / dt8, 2)}))
+    rec = {"metric": "l2max_search_ms_per_query_int8",
+           "docs": args.docs, "k": 64,
+           "value": round(dt8 * 1000, 3), "unit": "ms",
+           "effective_gbps": round(gb8 / dt8, 1)}
+    if not args.int8_only:
+        rec["speedup_vs_bf16"] = round(dt / dt8, 2)
+    print(json.dumps(rec))
     cand64 = MultiVec(
         embed=jnp.asarray(rng.standard_normal((64, 20, d)).astype(np.float32)),
         lens=jnp.asarray(np.clip(rng.poisson(9, 64), 3, 20).astype(np.int32)))
