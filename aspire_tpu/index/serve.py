@@ -123,19 +123,22 @@ def gather_doc_reps(index, doc_idx: np.ndarray, max_sents: int) -> MultiVec:
     return MultiVec(embed=jnp.asarray(out), lens=jnp.asarray(lens))
 
 
-@partial(jax.jit, static_argnames=("blur", "scaling", "temp", "max_iters"))
+@partial(jax.jit, static_argnames=("blur", "scaling", "temp", "max_iters",
+                                   "solver"))
 def ot_rerank(q: MultiVec, cands: MultiVec, blur: float = 0.05,
-              scaling: float = 0.9, temp: float = 1.0, max_iters: int = 128):
+              scaling: float = 0.9, temp: float = 1.0, max_iters: int = 128,
+              solver: str = "pallas"):
     """Batched Sinkhorn rerank of k candidates against one query.
 
     q: MultiVec with batch 1; cands: MultiVec with batch k.
     Returns f32[k] OT similarity scores (plan-weighted similarity sums).
 
     Latency note: the geomloss-parity schedule (scaling=0.9) costs ~60-80
-    sequential iterations (~1.3 ms for k=50 on v5e).  For latency-critical
-    serving pass scaling=0.8, max_iters=64 ("fast OT"): ~half the
-    iterations, near-identical rankings; scores deviate from reference
-    parity slightly.
+    sequential iterations.  Serving needs no gradients, so the default
+    solver is the pallas batch-on-lanes kernel (~1.4x the XLA solve on
+    v5e; pass solver='xla' to compare).  For latency-critical serving pass
+    scaling=0.8, max_iters=64 ("fast OT"): ~half the iterations,
+    near-identical rankings; scores deviate from reference parity slightly.
     """
     k = cands.embed.shape[0]
     q_tiled = MultiVec(
@@ -144,7 +147,7 @@ def ot_rerank(q: MultiVec, cands: MultiVec, blur: float = 0.05,
     )
     sims, _ = wasserstein_dist(q_tiled, cands, blur=blur, scaling=scaling,
                                temp=temp, return_pair_sims=True,
-                               max_iters=max_iters)
+                               max_iters=max_iters, solver=solver)
     return sims
 
 

@@ -112,14 +112,19 @@ def attention_dist(
     return jnp.sum(masked_d, axis=(1, 2))
 
 
-def ot_marginals(query: MultiVec, cand: MultiVec, temp: float = 1.0):
+def ot_marginals(query: MultiVec, cand: MultiVec, temp: float = 1.0,
+                 cost: jax.Array | None = None):
     """Marginal distributions over sentences for the OT solver.
 
     softmax over (max-similarity to the other doc) / temp, computed on the
     pad-masked -L2 matrix so pad sentences get ~zero mass
     (pair_distances.py:57-60).  Returns (a, b, masked_neg_dists).
+    cost: optional precomputed unmasked pairwise_l2 (dedups the cdist when
+    the caller also feeds the solver).
     """
-    neg = _masked_neg_dists(query, cand)
+    if cost is None:
+        cost = pairwise_l2(query.embed, cand.embed)
+    neg = -cost + query.pair_pad_mask(cand)
     q_max = jnp.max(neg, axis=2)
     c_max = jnp.max(neg, axis=1)
     a = jax.nn.softmax(q_max / temp, axis=1)
@@ -137,6 +142,7 @@ def wasserstein_dist(
     return_pair_sims: bool = False,
     max_iters: int = 128,
     diameter: str = "global",
+    solver: str = "xla",
 ):
     """Optimal-transport multi-match scoring (otAspire).
 
@@ -150,25 +156,39 @@ def wasserstein_dist(
     diameter: 'global' (whole-batch annealing start; reference training
     batches) or 'pair' (per-pair; reference evaluate.py 1x1 scoring --
     batched eval scores become chunking-invariant).
+    solver: 'xla' (default; differentiable) or 'pallas' (the VMEM-resident
+    batch-on-lanes kernel: ~1.4x the solve throughput on v5e; FORWARD-ONLY,
+    balanced OT, diameter='global' -- the serving/rerank path).
     """
-    a, b, neg = ot_marginals(query, cand, temp=temp)
-    if not return_pair_sims:
-        f, g = sinkhorn_potentials(
+    cost = pairwise_l2(query.embed, cand.embed)
+    a, b, neg = ot_marginals(query, cand, temp=temp, cost=cost)
+
+    def _solve():
+        if solver == "pallas":
+            if diameter != "global" or reach is not None:
+                raise ValueError(
+                    "solver='pallas' supports balanced OT with "
+                    "diameter='global' only")
+            from .pallas_sinkhorn import sinkhorn_potentials_pallas
+            return sinkhorn_potentials_pallas(
+                a, query.embed, b, cand.embed, blur=blur, scaling=scaling,
+                max_iters=max_iters, cost=cost, use_cost=True,
+                interpret=jax.default_backend() != "tpu")
+        return sinkhorn_potentials(
             a, query.embed, b, cand.embed,
             blur=blur, scaling=scaling, reach=reach, max_iters=max_iters,
-            diameter=diameter,
+            diameter=diameter, cost=cost, use_cost=True,
         )
+
+    if not return_pair_sims:
+        f, g = _solve()
         return sinkhorn_cost(a, f, b, g, blur=blur, reach=reach)
 
     # Test path: zero the pads multiplicatively (the reference flips its
     # additive mask into a binary one in place, pair_distances.py:64-66).
     binary = query.sent_mask()[:, :, None] * cand.sent_mask()[:, None, :]
     masked_neg = neg * binary
-    f, g = sinkhorn_potentials(
-        a, query.embed, b, cand.embed,
-        blur=blur, scaling=scaling, reach=reach, max_iters=max_iters,
-        diameter=diameter,
-    )
+    f, g = _solve()
     outersum = (f[:, :, None] + g[:, None, :]) * binary
     exps = jnp.exp((outersum + masked_neg) / blur)
     plan = exps * (a[:, :, None] * b[:, None, :])

@@ -42,8 +42,11 @@ def main():
     def one(acc, q_embed, c_embed, q_lens, c_lens):
         q = MultiVec(embed=q_embed + acc * 0.0, lens=q_lens)
         c = MultiVec(embed=c_embed, lens=c_lens)
+        # solver='pallas': the production serving/rerank solver (forward-
+        # only VMEM-resident kernel; geomloss-parity schedule + scores)
         sims, _ = wasserstein_dist(q, c, blur=0.05, scaling=0.9,
-                                   temp=5000.0, return_pair_sims=True)
+                                   temp=5000.0, return_pair_sims=True,
+                                   solver="pallas")
         return sims[0]
 
     dt = timed_loop(one, 100, q_embed, c_embed, q_lens, c_lens)

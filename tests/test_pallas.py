@@ -47,3 +47,26 @@ def test_pallas_pooling_matches_einsum(rng):
     got = np.asarray(sentence_pool_pallas(hidden, jnp.asarray(sent_ids), smax,
                                           interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_wasserstein_solver_pallas_matches_xla(rng):
+    """The full scoring path (marginals + solve + plan reconstruction) must
+    give the same similarities with either solver (pallas runs in interpret
+    mode on CPU)."""
+    from aspire_tpu.core.types import MultiVec
+    from aspire_tpu.ops.distances import wasserstein_dist
+    b, s, d = 4, 6, 16
+    q = MultiVec(embed=jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32)),
+                 lens=jnp.asarray(rng.integers(1, s + 1, (b,)).astype(np.int32)))
+    c = MultiVec(embed=jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32)),
+                 lens=jnp.asarray(rng.integers(1, s + 1, (b,)).astype(np.int32)))
+    sims_x, (ax, bx, negx, planx, _) = wasserstein_dist(
+        q, c, temp=5000.0, return_pair_sims=True, solver="xla")
+    sims_p, (ap, bp, negp, planp, _) = wasserstein_dist(
+        q, c, temp=5000.0, return_pair_sims=True, solver="pallas")
+    np.testing.assert_allclose(np.asarray(sims_p), np.asarray(sims_x),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(planp), np.asarray(planx),
+                               rtol=5e-3, atol=5e-3)
+    with pytest.raises(ValueError, match="pallas"):
+        wasserstein_dist(q, c, temp=5000.0, diameter="pair", solver="pallas")
