@@ -144,7 +144,7 @@ class AspireSimilarityModel(SimilarityModel):
                  agg: str = "ot", encoding_type: str = "sentence",
                  max_sents: int = 24, batch_size: int = 8,
                  ot_temp: float = 1.0, blur: float = 0.05, scaling: float = 0.9,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, ot_solver: str = "xla"):
         super().__init__(name=name, encoding_type=encoding_type, batch_size=batch_size)
         self.bert_config = bert_config
         # compute_dtype=bf16: encoder activations in bf16 (params stay f32,
@@ -170,10 +170,13 @@ class AspireSimilarityModel(SimilarityModel):
         def _pair_scores(q: MultiVec, c: MultiVec):
             if agg == "ot":
                 # per-pair annealing start: parity with the reference's 1x1
-                # evaluate.py scoring, and scores don't depend on chunking
+                # evaluate.py scoring, and scores don't depend on chunking.
+                # ot_solver='pallas': the VMEM kernel (forward-only, ~1.4x;
+                # scores agree to ~2e-3 -- evaluation default stays 'xla'
+                # for strict reference parity).
                 sims, _ = wasserstein_dist(q, c, blur=blur, scaling=scaling,
                                            temp=ot_temp, return_pair_sims=True,
-                                           diameter="pair")
+                                           diameter="pair", solver=ot_solver)
             elif agg == "l2max":
                 sims, _ = l2max_dist(q, c, return_pair_sims=True)
             elif agg == "jointsm":
@@ -580,29 +583,32 @@ class ClsNERSimilarityModel(ClsSimilarityModel):
 # ----------------------------------------------------------------------
 def get_model(model_name: str, trained_model_path: str | None = None,
               weights_dir: str | None = None, tokenizer=None,
-              batch_size: int = 8) -> SimilarityModel:
+              batch_size: int = 8, ot_solver: str = "xla") -> SimilarityModel:
     """Factory keyed by the reference model names (utils/models.py:738-768).
 
     HF-hub-named models need `weights_dir` pointing at a local checkpoint
     directory (zero-egress environment); trained models need
     `trained_model_path` (this framework's run dir) and a tokenizer.
+    ot_solver: 'xla' (reference parity) or 'pallas' (faster TPU scoring).
     """
     ot_models = {"aspire_compsci", "aspire_biomed"}
     ner_models = {"aspire_ner_compsci", "aspire_ner_biomed"}
     kw = {"batch_size": batch_size}
+    akw = {**kw, "ot_solver": ot_solver}  # Aspire multi-vector models only
     if model_name in ot_models:
         assert weights_dir, f"{model_name} needs a local weights_dir"
         return AspireSimilarityModel.from_hf_dir(model_name, weights_dir,
-                                                 agg="ot", **kw)
+                                                 agg="ot", **akw)
     if model_name in ner_models:
         assert weights_dir, f"{model_name} needs a local weights_dir"
-        m = AspireNERSimilarityModel.from_hf_dir(model_name, weights_dir, agg="ot", **kw)
+        m = AspireNERSimilarityModel.from_hf_dir(model_name, weights_dir,
+                                                 agg="ot", **akw)
         m.encoding_type = "sentence-entity"
         return m
     if model_name in {"aspire_context_ner_compsci", "aspire_context_ner_biomed"}:
         assert weights_dir, f"{model_name} needs a local weights_dir"
         return AspireContextNERSimilarityModel.from_hf_dir(
-            model_name, weights_dir, agg="ot", **kw)
+            model_name, weights_dir, agg="ot", **akw)
     if model_name in {"sbtinybertsota", "sbrobertanli", "sbmpnet1B"}:
         assert weights_dir, f"{model_name} needs a local weights_dir"
         return SbertSimilarityModel(model_name, weights_dir, **kw)
@@ -627,9 +633,9 @@ def get_model(model_name: str, trained_model_path: str | None = None,
                       "miswordabsbienc", "miswordpolyenc"}:
         assert trained_model_path and tokenizer is not None
         if model_name == "miswordpolyenc":
-            kw.setdefault("agg", "jointsm")
+            akw.setdefault("agg", "jointsm")
         return AspireSimilarityModel.from_trained(model_name, trained_model_path,
-                                                  tokenizer, **kw)
+                                                  tokenizer, **akw)
     if model_name in {"cosentbert", "ictsentbert"}:
         assert trained_model_path and tokenizer is not None
         import orbax.checkpoint as ocp

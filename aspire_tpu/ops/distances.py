@@ -158,21 +158,22 @@ def wasserstein_dist(
     batched eval scores become chunking-invariant).
     solver: 'xla' (default; differentiable) or 'pallas' (the VMEM-resident
     batch-on-lanes kernel: ~1.4x the solve throughput on v5e; FORWARD-ONLY,
-    balanced OT, diameter='global' -- the serving/rerank path).
+    balanced OT; supports both diameter modes -- the serving/rerank and
+    eval-scoring paths).
     """
     cost = pairwise_l2(query.embed, cand.embed)
     a, b, neg = ot_marginals(query, cand, temp=temp, cost=cost)
 
     def _solve():
         if solver == "pallas":
-            if diameter != "global" or reach is not None:
-                raise ValueError(
-                    "solver='pallas' supports balanced OT with "
-                    "diameter='global' only")
+            if reach is not None:
+                raise ValueError("solver='pallas' supports balanced OT only "
+                                 "(reach=None)")
             from .pallas_sinkhorn import sinkhorn_potentials_pallas
             return sinkhorn_potentials_pallas(
                 a, query.embed, b, cand.embed, blur=blur, scaling=scaling,
                 max_iters=max_iters, cost=cost, use_cost=True,
+                diameter=diameter,
                 interpret=jax.default_backend() != "tpu")
         return sinkhorn_potentials(
             a, query.embed, b, cand.embed,

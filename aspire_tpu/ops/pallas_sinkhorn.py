@@ -24,42 +24,48 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .cdist import pairwise_l2
-from .sinkhorn import log_weights, max_diameter, _schedule_len
+from .sinkhorn import log_weights, max_diameter, pairwise_diameter, _schedule_len
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _sinkhorn_kernel(scalars_ref, cost_ref, loga_ref, logb_ref,
+def _sinkhorn_kernel(scalars_ref, diam_ref, cost_ref, loga_ref, logb_ref,
                      f_ref, g_ref, *, blur: float, scaling: float,
                      max_iters: int):
     """One batch tile, batch-on-lanes layout.
 
-    cost: [N, M, TB]; log_a/f: [N, TB]; log_b/g: [M, TB].
+    diam: [1, TB] per-lane annealing diameters ('global' mode passes the
+    same value on every lane); cost: [N, M, TB]; log_a/f: [N, TB];
+    log_b/g: [M, TB].
     """
-    diameter = scalars_ref[0]
-    n_iters = scalars_ref[1].astype(jnp.int32)
+    n_cap = scalars_ref[0].astype(jnp.int32)   # max schedule length (batch)
+    diam = diam_ref[...]                       # [1, TB]
     cost = cost_ref[...]
     log_a = loga_ref[...]
     log_b = logb_ref[...]
     log_scaling = math.log(scaling)
+    # per-lane schedule length (mirrors sinkhorn._schedule_len: K + 2 with
+    # K = ceil(log(blur/d)/log(s)) clamped at 0); early lanes freeze below
+    ratio = jnp.log(blur / jnp.maximum(diam, 1e-30)) / log_scaling
+    lane_iters = jnp.ceil(jnp.maximum(ratio, 0.0)) + 2.0
 
     def softmin_over_m(eps, h):
-        # f[i, b] = -eps * lse_j(h[j, b] - cost[i, j, b]/eps)
+        # eps: [1, TB]; f[i, b] = -eps[b] * lse_j(h[j, b] - cost[i, j, b]/eps[b])
         t = h[None, :, :] - cost / eps
         m = jnp.max(t, axis=1)
         return -eps * (jnp.log(jnp.sum(jnp.exp(t - m[:, None, :]), axis=1)) + m)
 
     def softmin_over_n(eps, h):
-        # g[j, b] = -eps * lse_i(h[i, b] - cost[i, j, b]/eps)
+        # g[j, b] = -eps[b] * lse_i(h[i, b] - cost[i, j, b]/eps[b])
         t = h[:, None, :] - cost / eps
         m = jnp.max(t, axis=0)
         return -eps * (jnp.log(jnp.sum(jnp.exp(t - m[None, :, :]), axis=0)) + m)
 
     def eps_at(i):
         k = jnp.maximum(i - 1, 0).astype(jnp.float32)
-        return jnp.maximum(diameter * jnp.exp(k * log_scaling), blur)
+        return jnp.maximum(diam * jnp.exp(k * log_scaling), blur)   # [1, TB]
 
     eps0 = eps_at(jnp.int32(0))
     f = softmin_over_m(eps0, log_b)
@@ -70,26 +76,31 @@ def _sinkhorn_kernel(scalars_ref, cost_ref, loga_ref, logb_ref,
         eps = eps_at(i)
         ft = softmin_over_m(eps, log_b + g / eps)
         gt = softmin_over_n(eps, log_a + f / eps)
-        return (0.5 * (f + ft), 0.5 * (g + gt))
+        live = (i.astype(jnp.float32) < lane_iters)   # [1, TB]
+        f = jnp.where(live, 0.5 * (f + ft), f)
+        g = jnp.where(live, 0.5 * (g + gt), g)
+        return (f, g)
 
-    # Dynamic trip count: iterations past the schedule length were frozen
-    # no-ops in the old select-freeze form, so stopping at n_iters is exact.
-    # Measured on v5e (round 2): dynamic bound 0.60 ms vs fixed-128 0.68 ms
-    # per 1024-pair chunk -- the earlier "dynamic is slower" finding no
-    # longer holds on current Mosaic.
-    ncap = jnp.minimum(n_iters, max_iters)
+    # Dynamic trip count to the batch-max schedule length; per-lane `live`
+    # masks freeze lanes whose own schedule ended (iterations past the
+    # schedule were frozen no-ops in the old select-freeze form, so this is
+    # exact).  Measured on v5e (round 2): dynamic bound 0.60 ms vs fixed-128
+    # 0.68 ms per 1024-pair chunk -- the earlier "dynamic is slower" finding
+    # no longer holds on current Mosaic.
+    ncap = jnp.minimum(n_cap, max_iters)
     f, g = jax.lax.fori_loop(0, ncap, body, (f, g))
-    f_ref[...] = softmin_over_m(blur, log_b + g / blur)
-    g_ref[...] = softmin_over_n(blur, log_a + f / blur)
+    f_ref[...] = softmin_over_m(jnp.full_like(diam, blur), log_b + g / blur)
+    g_ref[...] = softmin_over_n(jnp.full_like(diam, blur), log_a + f / blur)
 
 
 @partial(jax.jit, static_argnames=("blur", "scaling", "max_iters", "batch_tile",
-                                   "interpret", "use_cost"))
+                                   "interpret", "use_cost", "diameter"))
 def sinkhorn_potentials_pallas(
     a: jax.Array, x: jax.Array, b: jax.Array, y: jax.Array,
     blur: float = 0.05, scaling: float = 0.9, max_iters: int = 128,
     batch_tile: int = 256, interpret: bool = False,
     cost: jax.Array | None = None, use_cost: bool = False,
+    diameter: str = "global",
 ):
     """Drop-in forward replacement for sinkhorn_potentials (balanced case).
 
@@ -97,14 +108,19 @@ def sinkhorn_potentials_pallas(
     cost: optional precomputed f32[bsz, n, m] ground cost (pass
     use_cost=True) -- callers that already built the masked cost matrix
     (ot_marginals) avoid a second pairwise_l2.
+    diameter: 'global' (one annealing start for the whole batch) or 'pair'
+    (per-element -- the eval path); both ride the same per-lane kernel.
     Returns (f [bsz, n], g [bsz, m]) float32.
     """
     bsz, n = a.shape
     m = b.shape[1]
     if not use_cost:
         cost = pairwise_l2(x, y)
-    diameter = max_diameter(x, y)
-    n_iters = _schedule_len(diameter, blur, scaling).astype(jnp.float32)
+    if diameter == "pair":
+        diam = pairwise_diameter(x, y)                         # [bsz]
+    else:
+        diam = jnp.broadcast_to(max_diameter(x, y), (bsz,))    # [bsz]
+    n_cap = jnp.max(_schedule_len(diam, blur, scaling)).astype(jnp.float32)
 
     n_p = _round_up(max(n, 8), 8)
     m_p = _round_up(max(m, 8), 8)
@@ -116,7 +132,10 @@ def sinkhorn_potentials_pallas(
     la = la.at[:n, :bsz].set(log_weights(a).T)
     lb = jnp.full((m_p, b_p), -100000.0, jnp.float32)
     lb = lb.at[:m, :bsz].set(log_weights(b).T)
-    scalars = jnp.stack([diameter, n_iters]).astype(jnp.float32)
+    # pad lanes anneal for a single step (diam=blur) and freeze
+    diam_p = jnp.full((1, b_p), blur, jnp.float32)
+    diam_p = diam_p.at[0, :bsz].set(diam)
+    scalars = jnp.stack([n_cap]).astype(jnp.float32)
 
     grid = (b_p // batch_tile,)
     kernel = partial(_sinkhorn_kernel, blur=blur, scaling=scaling,
@@ -127,6 +146,7 @@ def sinkhorn_potentials_pallas(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
+                pl.BlockSpec((1, batch_tile), lambda i, s: (0, i)),
                 pl.BlockSpec((n_p, m_p, batch_tile), lambda i, s: (0, 0, i)),
                 pl.BlockSpec((n_p, batch_tile), lambda i, s: (0, i)),
                 pl.BlockSpec((m_p, batch_tile), lambda i, s: (0, i)),
@@ -141,5 +161,5 @@ def sinkhorn_potentials_pallas(
             jax.ShapeDtypeStruct((m_p, b_p), jnp.float32),
         ],
         interpret=interpret,
-    )(scalars, cost_p, la, lb)
+    )(scalars, diam_p, cost_p, la, lb)
     return f[:n, :bsz].T, g[:m, :bsz].T

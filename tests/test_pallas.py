@@ -68,5 +68,12 @@ def test_wasserstein_solver_pallas_matches_xla(rng):
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(planp), np.asarray(planx),
                                rtol=5e-3, atol=5e-3)
-    with pytest.raises(ValueError, match="pallas"):
-        wasserstein_dist(q, c, temp=5000.0, diameter="pair", solver="pallas")
+    # per-pair diameter mode (the eval path) rides the same per-lane kernel
+    pair_x, _ = wasserstein_dist(q, c, temp=5000.0, return_pair_sims=True,
+                                 diameter="pair", solver="xla")
+    pair_p, _ = wasserstein_dist(q, c, temp=5000.0, return_pair_sims=True,
+                                 diameter="pair", solver="pallas")
+    np.testing.assert_allclose(np.asarray(pair_p), np.asarray(pair_x),
+                               rtol=2e-3, atol=2e-3)
+    with pytest.raises(ValueError, match="balanced"):
+        wasserstein_dist(q, c, temp=5000.0, reach=1.0, solver="pallas")
