@@ -76,11 +76,17 @@ def _select_flash(attention_impl: str, seq_len: int, deterministic: bool,
                   backend: str) -> bool:
     """Backend-selection policy for BertSelfAttention (unit-testable: the
     pallas flash kernel only lowers on TPU, so CI can't exercise the TPU
-    branch behaviorally)."""
-    if attention_impl == "flash":
-        return True
-    return (attention_impl == "auto" and seq_len >= 512 and deterministic
-            and backend == "tpu")
+    branch behaviorally).
+
+    'auto' always picks the naive path: measured on v5e, XLA's fused naive
+    attention beats the pallas flash kernel in EVERY regime this model
+    family can reach (BERT caps at 512 positions) -- 1.4x at t=256 fwd,
+    1.7x at t=512 b=32 fwd, 2.3x at t=512 fwd+bwd -- and it carries exact
+    attention-prob dropout.  Flash's blockwise scan only pays off well past
+    1k tokens; it stays available by explicit request for long-context
+    derivatives."""
+    del seq_len, deterministic, backend
+    return attention_impl == "flash"
 
 
 class BertSelfAttention(nn.Module):
@@ -91,13 +97,10 @@ class BertSelfAttention(nn.Module):
     * 'flash': pallas flash_attention with segment-id padding masks; never
       materializes the score matrix.  NOTE: no attention-prob dropout on this
       path (hidden dropout remains); inference is equivalent to ~1e-3.
-    * 'auto' (default): flash for DETERMINISTIC passes at seq_len >= 512
-      (encode/serve speed), naive otherwise -- so training always gets
-      attention-prob dropout (reference regularization semantics,
-      disent_models.py via HF BertSelfAttention).  The full ts+ot train step
-      at t=512/batch 3 compiles and runs within v5e VMEM on the naive path
-      (verified on chip); pass 'flash' explicitly to trade the dropout for
-      flash speed at long sequence lengths.
+    * 'auto' (default): always naive -- measured faster than flash at every
+      shape reachable under BERT's 512-position cap, and exact-dropout
+      (see _select_flash).  The full ts+ot train step at t=512/batch 3
+      fits v5e VMEM on the naive path (verified on chip).
     """
 
     config: BertConfig
