@@ -75,3 +75,21 @@ def test_build_index_and_rank(tmp_path, rng):
     for qpid, cands in ranked.items():
         top2 = {c for c, _ in cands[:2]}
         assert top2 == {f"{qpid}c0", f"{qpid}c1"}, (qpid, cands[:4])
+
+    # int8 storage + bf16 encode: same top candidates through the same CLI
+    r4 = run_cli(["build-index", "--corpus", str(tmp_path / "corpus.jsonl"),
+                  "--run-dir", str(tmp_path / "run"),
+                  "--tokenizer", str(vocab_dir), "--int8", "--bf16-compute",
+                  "--out", str(tmp_path / "idx8")], cwd=str(tmp_path))
+    assert r4.returncode == 0, r4.stderr[-2000:]
+    r5 = run_cli(["rank", "--index", str(tmp_path / "idx8"),
+                  "--dataset", "toy", "--dataset-dir", str(tmp_path),
+                  "--model", "miswordbienc", "--run-dir", str(tmp_path / "run"),
+                  "--tokenizer", str(vocab_dir),
+                  "--out", str(tmp_path / "ranked8"), "--k", "8",
+                  "--rerank", "ot"], cwd=str(tmp_path))
+    assert r5.returncode == 0, r5.stderr[-2000:]
+    ranked8 = json.loads((tmp_path / "ranked8" /
+                          "test-pid2pool-toy-miswordbienc-ranked.json").read_text())
+    for qpid, cands in ranked8.items():
+        assert {c for c, _ in cands[:2]} == {f"{qpid}c0", f"{qpid}c1"}
