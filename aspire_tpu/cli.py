@@ -190,7 +190,8 @@ def cmd_rank(args):
                 embed=jnp.zeros((1, cands.embed.shape[1], q_enc.shape[-1]),
                                 jnp.float32).at[0, :q_len].set(q_pad[:q_len]),
                 lens=jnp.asarray([q_len]))
-            sims = np.asarray(ot_rerank(q, cands, temp=args.ot_temp))
+            sims = np.asarray(ot_rerank(q, cands, temp=args.ot_temp,
+                                        solver=args.ot_solver))
             order = np.argsort(-sims)
             ranked[qpid] = [[idx.pids[docs_np[i]], float(sims[i])] for i in order]
         else:
@@ -319,6 +320,9 @@ def build_parser():
     r.add_argument("--k", type=int, default=100)
     r.add_argument("--rerank", choices=["none", "ot"], default="none")
     r.add_argument("--ot-temp", type=float, default=5000.0)
+    r.add_argument("--ot-solver", choices=["pallas", "xla"], default="pallas",
+                   help="rerank solver: pallas (production; 1.4-3x at "
+                        "serving k) or xla (strict reference-parity scores)")
     r.add_argument("--max-sents", type=int, default=24)
     r.add_argument("--run-dir")
     r.add_argument("--weights-dir")

@@ -135,8 +135,10 @@ def ot_rerank(q: MultiVec, cands: MultiVec, blur: float = 0.05,
 
     Latency note: the geomloss-parity schedule (scaling=0.9) costs ~60-80
     sequential iterations.  Serving needs no gradients, so the default
-    solver is the pallas batch-on-lanes kernel (~1.4x the XLA solve on
-    v5e; pass solver='xla' to compare).  For latency-critical serving pass
+    solver is the pallas batch-on-lanes kernel -- measured 1.4-3.1x the XLA
+    solve at serving k on v5e (k=50: 0.063 vs 0.197 ms; k=100: 0.060 vs
+    0.101 ms; XLA pads non-lane-aligned k poorly).  Pass solver='xla' for
+    strict reference-parity scores.  For latency-critical serving pass
     scaling=0.8, max_iters=64 ("fast OT"): ~half the iterations,
     near-identical rankings; scores deviate from reference parity slightly.
     """

@@ -22,13 +22,17 @@ from .cdist import pairwise_l2
 from .sinkhorn import sinkhorn_potentials, sinkhorn_cost
 
 
-def _masked_neg_dists(query: MultiVec, cand: MultiVec) -> jax.Array:
+def _masked_neg_dists(query: MultiVec, cand: MultiVec,
+                      cost: jax.Array | None = None) -> jax.Array:
     """-cdist(q, c) with -10e8 added at pad positions.
 
     Mirrors pair_distances.py:49-56: negative L2 distances, additive pad mask.
+    cost: optional precomputed pairwise_l2 (callers that also feed the OT
+    solver dedup the cdist).
     """
-    neg = -pairwise_l2(query.embed, cand.embed)
-    return neg + query.pair_pad_mask(cand)
+    if cost is None:
+        cost = pairwise_l2(query.embed, cand.embed)
+    return -cost + query.pair_pad_mask(cand)
 
 
 def l2max_dist(query: MultiVec, cand: MultiVec, return_pair_sims: bool = False):
@@ -122,9 +126,7 @@ def ot_marginals(query: MultiVec, cand: MultiVec, temp: float = 1.0,
     cost: optional precomputed unmasked pairwise_l2 (dedups the cdist when
     the caller also feeds the solver).
     """
-    if cost is None:
-        cost = pairwise_l2(query.embed, cand.embed)
-    neg = -cost + query.pair_pad_mask(cand)
+    neg = _masked_neg_dists(query, cand, cost=cost)
     q_max = jnp.max(neg, axis=2)
     c_max = jnp.max(neg, axis=1)
     a = jax.nn.softmax(q_max / temp, axis=1)

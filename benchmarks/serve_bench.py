@@ -41,8 +41,10 @@ def main():
     lens = np.clip(rng.poisson(9, args.docs), 3, 20)
     # build buckets directly on device-friendly arrays (random reps)
     import ml_dtypes
+    nbytes = lens.sum() * d * (1 if args.int8_only else 2)
+    kind = "int8" if args.int8_only else "bf16"
     print(f"building {args.docs}-doc dense index "
-          f"(~{lens.sum() * d * 2 / 1e9:.2f} GB bf16)...", flush=True)
+          f"(~{nbytes / 1e9:.2f} GB {kind})...", flush=True)
     doc_reps = [rng.standard_normal((l, d), dtype=np.float32) * 2 for l in lens]
     qpad = jnp.asarray(np.pad(rng.standard_normal((10, d)).astype(np.float32) * 2,
                               ((0, 6), (0, 0))))
@@ -66,12 +68,13 @@ def main():
                           "unit": "ms", "effective_gbps": round(gb / dt, 1)}))
 
     # OT rerank of top-k
-    cand = MultiVec(
-        embed=jnp.asarray(rng.standard_normal((args.k, 20, d)).astype(np.float32)),
-        lens=jnp.asarray(np.clip(rng.poisson(9, args.k), 3, 20).astype(np.int32)))
     q = MultiVec(embed=qpad[None, :, :], lens=jnp.asarray([10], np.int32))
+    if not args.int8_only:
+        cand = MultiVec(
+            embed=jnp.asarray(rng.standard_normal((args.k, 20, d)).astype(np.float32)),
+            lens=jnp.asarray(np.clip(rng.poisson(9, args.k), 3, 20).astype(np.int32)))
 
-    def mk_rerank(scaling, max_iters, cand_lens):
+    def mk_rerank(scaling, max_iters, cand_lens, solver="xla"):
         def one_rerank(acc, qe, ce):
             qq = MultiVec(embed=qe + acc * 0.0, lens=q.lens)
             k = ce.shape[0]
@@ -80,7 +83,7 @@ def main():
             sims, _ = wasserstein_dist(qt, MultiVec(embed=ce, lens=cand_lens),
                                        temp=5000.0, scaling=scaling,
                                        return_pair_sims=True,
-                                       max_iters=max_iters)
+                                       max_iters=max_iters, solver=solver)
             return sims[0]
         return one_rerank
 
@@ -120,7 +123,8 @@ def main():
     cand64 = MultiVec(
         embed=jnp.asarray(rng.standard_normal((64, 20, d)).astype(np.float32)),
         lens=jnp.asarray(np.clip(rng.poisson(9, 64), 3, 20).astype(np.int32)))
-    dt_r64 = timed_loop(mk_rerank(0.9, 128, cand64.lens), 300,
+    # production rerank path: ot_rerank defaults to the pallas solver
+    dt_r64 = timed_loop(mk_rerank(0.9, 128, cand64.lens, solver="pallas"), 300,
                         q.embed, cand64.embed)
     print(json.dumps({"metric": "end_to_end_query_ms_int8_production",
                       "value": round((dt8 + dt_r64) * 1000, 3), "unit": "ms",
