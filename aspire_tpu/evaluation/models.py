@@ -160,12 +160,13 @@ class AspireSimilarityModel(SimilarityModel):
         self.blur = blur
         self.scaling = scaling
 
-        @jax.jit
-        def _encode(token_ids, attn_mask, sent_ids):
-            return self.encoder.apply({"params": self.params}, token_ids,
-                                      attn_mask, sent_ids)
-
-        self._encode_jit = _encode
+        # params ride as a jit ARGUMENT, never a closure constant: baked-in
+        # weights bloat the HLO by the full model size (440 MB for
+        # BERT-base), which slows compiles everywhere and exceeds the
+        # remote-compile payload limit on tunneled TPU backends.
+        _encode = jax.jit(lambda p, t, a, s: self.encoder.apply(
+            {"params": p}, t, a, s))
+        self._encode_jit = lambda *xs: _encode(self.params, *xs)
 
         def _pair_scores(q: MultiVec, c: MultiVec):
             if agg == "ot":
@@ -229,8 +230,13 @@ class AspireSimilarityModel(SimilarityModel):
 
     # -- API --
     def _prep(self, batch_papers):
+        # ONE static shape (the reference's own 500-token cap rounds to 512):
+        # each distinct BERT-base program costs ~a minute of compile/upload
+        # over tunneled backends even with a warm compilation cache, which
+        # dwarfs the wasted FLOPs of padding short batches to 512.
+        seq_len = min(512, self.bert_config.max_position_embeddings)
         return prepare_abstracts(batch_papers, self.tokenizer,
-                                 max_sents=self.max_sents)
+                                 max_sents=self.max_sents, seq_len=seq_len)
 
     def encode(self, batch_papers: list[dict]):
         fb = self._prep(batch_papers)
@@ -259,8 +265,11 @@ class AspireSimilarityModel(SimilarityModel):
     SCORE_CHUNKS = (64, 256, 1024)
 
     def get_similarities(self, query_enc, cand_encs: list) -> np.ndarray:
+        # fixed sentence bucket: one scoring shape per chunk size (pads are
+        # masked; a 24-vs-16 sentence Sinkhorn costs microseconds while each
+        # extra compiled shape costs ~seconds of tunnel upload)
         smax = max(len(query_enc), max(len(c) for c in cand_encs), 2)
-        smax = -(-smax // 8) * 8  # sentence-count bucket (pads are masked)
+        smax = self.max_sents if smax <= self.max_sents else -(-smax // 8) * 8
         n = len(cand_encs)
         out = np.empty((n,), np.float32)
         start = 0
@@ -315,12 +324,9 @@ class AspireContextNERSimilarityModel(AspireSimilarityModel):
         super().__init__(*args, **kw)
         span_enc = ConSentSpanEncoder(self.bert_config, max_sents=self.max_sents)
 
-        @jax.jit
-        def _encode_spans(token_ids, attn_mask, sent_ids, span_mask):
-            return span_enc.apply({"params": self.params}, token_ids,
-                                  attn_mask, sent_ids, span_mask)
-
-        self._encode_spans_jit = _encode_spans
+        _encode_spans = jax.jit(lambda p, t, a, s, m: span_enc.apply(
+            {"params": p}, t, a, s, m))  # params as arg (see base class)
+        self._encode_spans_jit = lambda *xs: _encode_spans(self.params, *xs)
 
     def encode(self, batch_papers: list[dict]):
         assert "ENTITIES" in batch_papers[0], (
@@ -403,11 +409,13 @@ class SbertSimilarityModel(SimilarityModel):
             enc = BertModel(cfg)
 
             @jax.jit
-            def _mean_pool(token_ids, attn_mask):
-                last, _ = enc.apply({"params": params}, token_ids, attn_mask)
+            def _mean_pool_p(p, token_ids, attn_mask):
+                last, _ = enc.apply({"params": p}, token_ids, attn_mask)
                 m = attn_mask[:, :, None].astype(last.dtype)
                 return jnp.sum(last * m, axis=1) / jnp.maximum(
                     jnp.sum(m, axis=1), 1e-9)
+
+            _mean_pool = lambda t, a: _mean_pool_p(params, t, a)
 
             self._encode_fn = lambda ids, attn: np.asarray(
                 _mean_pool(jnp.asarray(ids), jnp.asarray(attn)))
@@ -460,12 +468,9 @@ class TrainedSentSimilarityModel(SimilarityModel):
         self.max_toks = max_toks
         enc = BertModel(bert_config)
 
-        @jax.jit
-        def _encode(token_ids, attn_mask):
-            last, _ = enc.apply({"params": params}, token_ids, attn_mask)
-            return last[:, 0, :]
-
-        self._encode_jit = _encode
+        _encode = jax.jit(lambda p, t, a: enc.apply(
+            {"params": p}, t, a)[0][:, 0, :])  # params as arg (see Aspire model)
+        self._encode_jit = lambda *xs: _encode(params, *xs)
 
     def encode(self, batch_papers: list[dict]):
         sents, splits, cur = [], [], 0
@@ -519,13 +524,13 @@ class ClsSimilarityModel(SimilarityModel):
             full = params
 
         @jax.jit
-        def _encode(token_ids, attn_mask):
+        def _encode_p(p, token_ids, attn_mask):
             if layer_mix is not None:
-                return enc.apply({"params": full}, token_ids, attn_mask)
-            last, _ = enc.apply({"params": full}, token_ids, attn_mask)
+                return enc.apply({"params": p}, token_ids, attn_mask)
+            last, _ = enc.apply({"params": p}, token_ids, attn_mask)
             return last[:, 0, :]
 
-        self._encode_jit = _encode
+        self._encode_jit = lambda *xs: _encode_p(full, *xs)
 
     @classmethod
     def from_hf_dir(cls, name: str, model_dir: str, **kw):

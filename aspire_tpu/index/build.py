@@ -149,10 +149,14 @@ def encode_corpus(model, params, corpus: list[dict], tokenizer,
     """
     from ..text.tokenize import prepare_abstracts
 
+    # params as a jit argument, not a closure constant (closure params bake
+    # the full model into the HLO -- see evaluation/models.py)
     @jax.jit
-    def _encode(feats):
-        cls, mv = model.encode(params, feats)
+    def _encode_p(p, feats):
+        cls, mv = model.encode(p, feats)
         return cls, mv.embed, mv.lens
+
+    _encode = lambda feats: _encode_p(params, feats)
 
     doc_reps: list[np.ndarray] = []
     cls_reps: list[np.ndarray] = []

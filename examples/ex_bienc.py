@@ -59,8 +59,8 @@ def main():
     for i, r in enumerate(rows):
         token_ids[i, :len(r)] = r
         attn[i, :len(r)] = 1
-    cls = jax.jit(lambda a, b: enc.apply({"params": params}, a, b))(
-        jnp.asarray(token_ids), jnp.asarray(attn))
+    cls = jax.jit(lambda p, a, b: enc.apply({"params": p}, a, b))(
+        params, jnp.asarray(token_ids), jnp.asarray(attn))
     print("CLS reps:", cls.shape)
     sim = -float(jnp.linalg.norm(cls[0] - cls[1]))
     print("bi-encoder similarity (-L2):", sim)

@@ -68,12 +68,14 @@ def main():
     encoder = ConSentEncoder(cfg, max_sents=10)
     fb = prepare_abstracts(EX_ABSTRACTS, tokenizer, max_sents=10)
 
+    # params as a jit ARGUMENT (a closure would bake 440 MB of weights into
+    # the compiled program with real checkpoints)
     @jax.jit
-    def encode(token_ids, attn_mask, sent_ids):
+    def encode(params, token_ids, attn_mask, sent_ids):
         return encoder.apply({"params": params}, token_ids, attn_mask, sent_ids)
 
-    cls, sents = encode(jnp.asarray(fb.token_ids), jnp.asarray(fb.attn_mask),
-                        jnp.asarray(fb.sent_ids))
+    cls, sents = encode(params, jnp.asarray(fb.token_ids),
+                        jnp.asarray(fb.attn_mask), jnp.asarray(fb.sent_ids))
     print("doc CLS reps:", cls.shape, " sentence reps:", sents.shape)
 
     q = MultiVec(embed=sents[:1], lens=jnp.asarray(fb.abs_lens[:1]))

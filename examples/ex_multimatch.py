@@ -52,8 +52,9 @@ def main():
 
     encoder = ConSentEncoder(cfg, max_sents=10)
     fb = prepare_abstracts(EX_ABSTRACTS, tokenizer, max_sents=10)
-    cls, sents = jax.jit(lambda t, a, s: encoder.apply({"params": params}, t, a, s))(
-        jnp.asarray(fb.token_ids), jnp.asarray(fb.attn_mask), jnp.asarray(fb.sent_ids))
+    cls, sents = jax.jit(lambda p, t, a, s: encoder.apply({"params": p}, t, a, s))(
+        params, jnp.asarray(fb.token_ids), jnp.asarray(fb.attn_mask),
+        jnp.asarray(fb.sent_ids))
 
     q = MultiVec(embed=sents[:1], lens=jnp.asarray(fb.abs_lens[:1]))
     c = MultiVec(embed=sents[1:], lens=jnp.asarray(fb.abs_lens[1:]))
