@@ -90,8 +90,9 @@ def cmd_train(args):
         devfn = lambda: dev_batches(args.dev, tokenizer, cfg.model, batch_size=micro,
                                     seq_len=args.seq_len, align_type=align,
                                     max_examples=cfg.train.dev_size or None)
-    for epoch in range(cfg.train.num_epochs):
-        state = trainer.train(state, iter(stream), devfn)
+    # single train call owning the epoch loop: TripleStream re-iterates with
+    # a per-epoch shuffle, and best-dev tracking stays global across epochs
+    state = trainer.train(state, stream, devfn, epochs=cfg.train.num_epochs)
     print(f"trained {int(state.step)} steps -> {args.out}")
 
 

@@ -39,10 +39,12 @@ def filter_metadata(meta_rows, require_fields=("abstract", "title"),
                     filter_nan_cols=None) -> list[dict]:
     """Filter S2ORC metadata records to full-text parsed papers.
 
-    Mirrors pre_proc_gorc.py:25-89 ('full text' method): keep rows whose
-    ``has_grobid_text`` column is true (`filter_for_fulltext`, :39), and --
-    when `filter_nan_cols` is given -- drop rows with a missing/NaN value in
-    any of those columns (the reference's `filter_nan_cols` argument, :49-50).
+    Mirrors pre_proc_gorc.py:25-89: keep rows whose ``has_grobid_text``
+    column is true (`filter_for_fulltext`, :39 -- which ignores its
+    filter-columns argument).  The opt-in `filter_nan_cols` behavior (drop
+    rows with a missing/NaN value in any of those columns) mirrors the
+    reference's `filter_by_hostingservice`/CS-filter path instead, where the
+    NaN-column filtering actually runs.
     Rows carrying an inline ``grobid_parse`` (full-paper jsons rather than
     metadata TSV rows) or a truthy ``has_grobid`` are also accepted as
     full-text.  `require_fields` must additionally be present and non-empty.

@@ -127,8 +127,16 @@ def run_evaluation(model: SimilarityModel, dataset: EvalDataset,
     if facets is None:
         facets = list(FACETS) if dataset.name == "csfcube" else [None]
     out = {}
-    if "encode" in actions and cache_path is not None:
-        encode_dataset(model, dataset, cache_path)
+    if "encode" in actions:
+        if cache_path is not None:
+            encode_dataset(model, dataset, cache_path)
+        else:
+            # without a cache there is nowhere to keep bulk encodings --
+            # scoring would just re-encode on the fly, so the action would
+            # silently do nothing.  Say so loudly instead.
+            log.warning("'encode' action requested without a cache path -- "
+                        "skipping bulk encoding (pass --cache to persist "
+                        "encodings; scoring will encode on the fly)")
     for facet in facets:
         if "score" in actions:
             score_dataset(model, dataset, results_dir, facet=facet)

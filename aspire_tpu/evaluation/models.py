@@ -152,6 +152,7 @@ class AspireSimilarityModel(SimilarityModel):
         # keeps encode parity with the reference's torch f32 path.
         self.encoder = ConSentEncoder(bert_config, max_sents=max_sents,
                                       dtype=compute_dtype)
+        self.compute_dtype = compute_dtype
         self.params = params
         self.tokenizer = tokenizer
         self.max_sents = max_sents
@@ -322,7 +323,10 @@ class AspireContextNERSimilarityModel(AspireSimilarityModel):
     def __init__(self, *args, **kw):
         kw.setdefault("encoding_type", "sentence-entity")
         super().__init__(*args, **kw)
-        span_enc = ConSentSpanEncoder(self.bert_config, max_sents=self.max_sents)
+        # same compute dtype as the base sentence path so a bf16-compute
+        # request applies to the span-encode forward too
+        span_enc = ConSentSpanEncoder(self.bert_config, max_sents=self.max_sents,
+                                      dtype=self.compute_dtype)
 
         _encode_spans = jax.jit(lambda p, t, a, s, m: span_enc.apply(
             {"params": p}, t, a, s, m))  # params as arg (see base class)

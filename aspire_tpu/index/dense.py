@@ -54,6 +54,24 @@ class DenseBucketIndex:
                             #        optional "scales": [n,s] f32 (int8 mode)}
     doc_lens: np.ndarray    # [n_docs] i32 (true sentence counts)
     pids: list
+    # inverse map doc -> (bucket, row), built once at build/load time so the
+    # rerank candidate fetch is O(k) instead of O(n_docs) per query
+    _doc_bucket: np.ndarray | None = None   # [n_docs] i32
+    _doc_row: np.ndarray | None = None      # [n_docs] i32
+
+    def _ensure_doc_pos(self) -> None:
+        """Build the doc->(bucket, row) inverse map (vectorized, once)."""
+        if self._doc_bucket is not None:
+            return
+        db = np.full((self.n_docs,), -1, np.int32)
+        dr = np.zeros((self.n_docs,), np.int32)
+        for bi, b in enumerate(self.buckets):
+            di = b["doc_idx"]
+            valid = di >= 0
+            db[di[valid]] = bi
+            dr[di[valid]] = np.nonzero(valid)[0].astype(np.int32)
+        object.__setattr__(self, "_doc_bucket", db)
+        object.__setattr__(self, "_doc_row", dr)
 
     @property
     def is_int8(self) -> bool:
@@ -121,8 +139,10 @@ class DenseBucketIndex:
         pids = [None] * len(pid2idx)
         for pid, i in pid2idx.items():
             pids[i] = pid
-        return cls(buckets=buckets, doc_lens=np.load(path / "doc_lens.npy"),
-                   pids=pids)
+        idx = cls(buckets=buckets, doc_lens=np.load(path / "doc_lens.npy"),
+                  pids=pids)
+        idx._ensure_doc_pos()
+        return idx
 
     def device_arrays(self, mesh: Mesh | None = None) -> list[dict]:
         """Place bucket arrays on device; doc axis sharded over `shard`."""
@@ -141,23 +161,31 @@ class DenseBucketIndex:
         return out
 
     def gather_doc_reps(self, doc_idx, max_sents: int):
-        """Host-side gather of per-doc sentence reps for the rerank stage."""
+        """Host-side gather of per-doc sentence reps for the rerank stage.
+
+        O(k) per call via the precomputed doc->(bucket, row) inverse map --
+        one fancy-indexed slice per bucket that holds candidates (the
+        reference's equivalent fetch is a dict lookup over its flat rep
+        matrix, pp_gen_nearest.py:207-363).
+        """
         from ..core.types import MultiVec
-        pos = {}
-        for b in self.buckets:
-            for row, di in enumerate(b["doc_idx"]):
-                pos[int(di)] = (b, row)
+        self._ensure_doc_pos()
+        doc_idx = np.asarray(doc_idx, np.int64)
         k = len(doc_idx)
         out = np.zeros((k, max_sents, self.dim), np.float32)
-        lens = np.zeros((k,), np.int32)
-        for i, di in enumerate(doc_idx):
-            b, row = pos[int(di)]
-            ln = min(int(self.doc_lens[di]), max_sents)
-            reps = b["sents"][row, :ln].astype(np.float32)
+        lens = np.minimum(self.doc_lens[doc_idx], max_sents).astype(np.int32)
+        cand_bucket = self._doc_bucket[doc_idx]
+        cand_row = self._doc_row[doc_idx]
+        for bi in np.unique(cand_bucket):
+            b = self.buckets[bi]
+            sel = np.nonzero(cand_bucket == bi)[0]
+            s = min(b["sents"].shape[1], max_sents)
+            reps = b["sents"][cand_row[sel], :s].astype(np.float32)
             if "scales" in b:  # dequantize int8 storage
-                reps = reps * b["scales"][row, :ln, None]
-            out[i, :ln] = reps
-            lens[i] = ln
+                reps = reps * b["scales"][cand_row[sel], :s, None]
+            # zero out pad slots past each doc's true length
+            mask = (np.arange(s)[None, :] < lens[sel, None])
+            out[sel, :s] = reps * mask[:, :, None]
         return MultiVec(embed=jnp.asarray(out), lens=jnp.asarray(lens))
 
 
@@ -218,8 +246,10 @@ def build_dense_index(doc_reps: list[np.ndarray], pids: list,
         if int8:
             b["scales"] = scales
         out_buckets.append(b)
-    return DenseBucketIndex(buckets=out_buckets, doc_lens=doc_lens,
-                            pids=list(pids))
+    idx = DenseBucketIndex(buckets=out_buckets, doc_lens=doc_lens,
+                           pids=list(pids))
+    idx._ensure_doc_pos()
+    return idx
 
 
 def _bucket_sims(q, bucket):
@@ -343,28 +373,73 @@ def _bucket_topk_batched(q, q_norms, q_lens, bucket, k: int):
     return v, doc_idx[i]
 
 
-def make_dense_search_batched(n_buckets: int, k: int, int8: bool = False):
-    """Batched-query variant (single device): amortizes the corpus read over
-    a whole query batch -- the production serving shape.
+def make_dense_search_batched(n_buckets: int, k: int, int8: bool = False,
+                              mesh: Mesh | None = None,
+                              q_chunk: int | None = None):
+    """Batched-query variant: amortizes the corpus read over a whole query
+    batch -- the production serving shape.
 
     Returns fn(q [B, Qmax, d], q_lens [B] i32, *bucket_arrays)
-      -> (scores [B, k], doc_idx [B, k]).
+      -> (scores [B, k], doc_idx [B, k]), identical per-query results to
+      make_dense_search.
+
+    mesh: shard the corpus scan over the mesh's `shard` axis (per-shard
+      batched top-k + one all_gather of [B, k] blocks over ICI, exactly the
+      single-query merge widened by the batch axis).  Queries are replicated.
+
+    q_chunk: bound the [c, n_docs_b, s, q] f32 similarity intermediate by
+      scanning the query batch in chunks of c (lax.map).  At the production
+      shape (B=32, 131k-doc bucket, s=8, q=16) the unchunked intermediate is
+      ~2.1 GB; q_chunk=8 holds it at ~0.5 GB with the corpus still read once
+      per chunk.  Must divide B.
     """
 
-    @jax.jit
-    def search(q, q_lens, *flat):
-        buckets = _unflatten_buckets(flat, n_buckets, int8)
-        qf = q.astype(jnp.float32)
+    def _score_chunk(buckets, qc, qlc):
+        qf = qc.astype(jnp.float32)
         q_norms = jnp.sum(qf * qf, axis=2)
         vs, ds = [], []
         for b in buckets:
-            v, dd = _bucket_topk_batched(q, q_norms, q_lens, b, k)
+            v, dd = _bucket_topk_batched(qc, q_norms, qlc, b, k)
             vs.append(v)
             ds.append(dd)
         v = jnp.concatenate(vs, axis=1)
         dd = jnp.concatenate(ds, axis=1)
         vk, ik = jax.lax.top_k(v, k)
-        return (-jnp.sqrt(jnp.maximum(-vk, 0.0)),
-                jnp.take_along_axis(dd, ik, axis=1))
+        return vk, jnp.take_along_axis(dd, ik, axis=1)
 
-    return search
+    def _score_local(q, q_lens, *flat):
+        buckets = _unflatten_buckets(flat, n_buckets, int8)
+        bsz = q.shape[0]
+        if q_chunk is None or q_chunk >= bsz:
+            return _score_chunk(buckets, q, q_lens)
+        assert bsz % q_chunk == 0, (
+            f"q_chunk={q_chunk} must divide the query batch {bsz}")
+        qr = q.reshape(bsz // q_chunk, q_chunk, *q.shape[1:])
+        qlr = q_lens.reshape(bsz // q_chunk, q_chunk)
+        vk, ik = jax.lax.map(lambda xs: _score_chunk(buckets, *xs), (qr, qlr))
+        return vk.reshape(bsz, k), ik.reshape(bsz, k)
+
+    def _finish(v, d):
+        return -jnp.sqrt(jnp.maximum(-v, 0.0)), d
+
+    if mesh is None:
+        @jax.jit
+        def search(q, q_lens, *flat):
+            return _finish(*_score_local(q, q_lens, *flat))
+        return search
+
+    def _sharded(q, q_lens, *flat):
+        v, d = _score_local(q, q_lens, *flat)          # [B, k] per shard
+        v_all = jax.lax.all_gather(v, "shard")         # [n_shards, B, k]
+        d_all = jax.lax.all_gather(d, "shard")
+        bsz = v.shape[0]
+        v_all = jnp.moveaxis(v_all, 0, 1).reshape(bsz, -1)
+        d_all = jnp.moveaxis(d_all, 0, 1).reshape(bsz, -1)
+        vk, ik = jax.lax.top_k(v_all, k)
+        return _finish(vk, jnp.take_along_axis(d_all, ik, axis=1))
+
+    per = 4 if int8 else 3
+    in_specs = [P(), P()] + [P("shard")] * (per * n_buckets)
+    fn = shard_map(_sharded, mesh=mesh, in_specs=tuple(in_specs),
+                   out_specs=(P(), P()), check_vma=False)
+    return jax.jit(fn)

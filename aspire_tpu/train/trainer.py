@@ -117,6 +117,12 @@ class Trainer:
         self.loss_checked_iters: list[int] = []
         self.dev_score_history: list[float] = []
         self.dev_checked_iters: list[int] = []
+        # global-best dev score across ALL epochs and train() calls, so
+        # `model_cur_best` is the run-wide best exactly like the reference's
+        # single best tracked over the whole run (trainer.py:222-246) -- a
+        # worse later epoch must never overwrite it
+        self.best_score = -np.inf
+        self._micro_iter = 0
         self.time_per_batch = 0.0
         # jsonl metrics stream (replaces the reference's optional comet.ml
         # logging, ranking_eval.py:514-529, with a dependency-free sink)
@@ -196,52 +202,60 @@ class Trainer:
             total += float(self._dev_loss_step(state.params, batch, key))
         return -total
 
-    def train(self, state: TrainState, batches: Iterator,
+    def train(self, state: TrainState, batches,
               dev_batches_fn: Callable[[], Iterator] | None = None,
-              seed: int = 0) -> TrainState:
+              seed: int = 0, epochs: int = 1) -> TrainState:
+        """Run `epochs` passes over `batches` (re-iterated per epoch; pass a
+        re-iterable like data.readers.TripleStream for epochs > 1 -- it
+        reshuffles with a per-epoch seed).  The best dev score is tracked
+        GLOBALLY across epochs and repeated train() calls (self.best_score),
+        matching the reference's run-wide `model_cur_best`
+        (trainer.py:222-246)."""
         tp = self.tp
-        best_score = -np.inf
-        micro_iter = 0
         rng = jax.random.key(seed)
         t_start = time.time()
         n_steps = 0
-        for superbatch in batches:
-            rng, step_rng = jax.random.split(rng)
-            sb = shard_batch(superbatch, self.mesh, axis=1)
-            state, losses = self._train_step(state, sb, step_rng)
-            n_micro = int(np.shape(losses)[0])
-            n_steps += 1
-            lvals_chk = np.asarray(losses)
-            if not np.isfinite(lvals_chk).all():
-                # the jitted step already suppressed the poisoned update
-                log.warning("non-finite loss %s at step %d; update skipped",
-                            lvals_chk, n_steps)
-            prev_iter = micro_iter
-            micro_iter += n_micro
-            if n_steps % 5 == 0 or n_steps == 1:
-                lvals = np.asarray(losses)
-                self.loss_history.extend(float(x) for x in lvals)
-                self.loss_checked_iters.extend(range(prev_iter, micro_iter))
-                log.info("iter %d/%d loss %.4f", micro_iter,
-                         tp.num_epochs * max(1, tp.train_size // max(1, tp.batch_size)),
-                         float(lvals.mean()))
-                self.log_metric(kind="train_loss", iter=micro_iter,
-                                loss=float(lvals.mean()))
-            if (self.early_stop and dev_batches_fn is not None
-                    and micro_iter // tp.es_check_every > prev_iter // tp.es_check_every):
-                score = self.dev_score(state, dev_batches_fn())
-                self.dev_score_history.append(score)
-                self.dev_checked_iters.append(micro_iter)
-                self.log_metric(kind="dev_score", iter=micro_iter, score=score)
-                if score > best_score:
-                    best_score = score
-                    self.save_checkpoint(state, "cur_best")
-                    log.info("iter %d new best dev score %.4f", micro_iter, score)
-                else:
-                    log.info("iter %d dev score %.4f", micro_iter, score)
+        for epoch in range(epochs):
+            if epochs > 1:
+                log.info("epoch %d/%d", epoch + 1, epochs)
+            for superbatch in iter(batches):
+                rng, step_rng = jax.random.split(rng)
+                sb = shard_batch(superbatch, self.mesh, axis=1)
+                state, losses = self._train_step(state, sb, step_rng)
+                n_micro = int(np.shape(losses)[0])
+                n_steps += 1
+                lvals_chk = np.asarray(losses)
+                if not np.isfinite(lvals_chk).all():
+                    # the jitted step already suppressed the poisoned update
+                    log.warning("non-finite loss %s at step %d; update skipped",
+                                lvals_chk, n_steps)
+                prev_iter = self._micro_iter
+                self._micro_iter += n_micro
+                micro_iter = self._micro_iter
+                if n_steps % 5 == 0 or n_steps == 1:
+                    lvals = np.asarray(losses)
+                    self.loss_history.extend(float(x) for x in lvals)
+                    self.loss_checked_iters.extend(range(prev_iter, micro_iter))
+                    log.info("iter %d/%d loss %.4f", micro_iter,
+                             tp.num_epochs * max(1, tp.train_size // max(1, tp.batch_size)),
+                             float(lvals.mean()))
+                    self.log_metric(kind="train_loss", iter=micro_iter,
+                                    loss=float(lvals.mean()))
+                if (self.early_stop and dev_batches_fn is not None
+                        and micro_iter // tp.es_check_every > prev_iter // tp.es_check_every):
+                    score = self.dev_score(state, dev_batches_fn())
+                    self.dev_score_history.append(score)
+                    self.dev_checked_iters.append(micro_iter)
+                    self.log_metric(kind="dev_score", iter=micro_iter, score=score)
+                    if score > self.best_score:
+                        self.best_score = score
+                        self.save_checkpoint(state, "cur_best")
+                        log.info("iter %d new best dev score %.4f", micro_iter, score)
+                    else:
+                        log.info("iter %d dev score %.4f", micro_iter, score)
         self.time_per_batch = (time.time() - t_start) / max(1, n_steps)
         self.save_checkpoint(state, "final")
-        if best_score == -np.inf:
+        if self.best_score == -np.inf:
             # no dev checks ran; final is also the best
             self.save_checkpoint(state, "cur_best")
         self.plot_history()

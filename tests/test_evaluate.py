@@ -125,3 +125,21 @@ def test_faceted_encoding_filter(tok):
     got_se = m.get_faceted_encoding(enc2, "method", data)
     # method sentence idx 2; its entities are global rows 4+1=5,6
     np.testing.assert_array_equal(got_se, enc2[[2, 5, 6]])
+
+
+def test_encode_without_cache_warns(tmp_path, tok, rng, caplog):
+    """`--actions encode` without a cache must warn loudly, not silently
+    no-op (the scoring stage still encodes on the fly)."""
+    import logging
+    make_dataset(tmp_path, rng, n_queries=2, n_cands=4)
+    ds = EvalDataset("toy", str(tmp_path))
+    from aspire_tpu.models.encoders import ConSentEncoder
+    cfg = BertConfig.tiny()
+    params = ConSentEncoder(cfg, max_sents=6).init(
+        jax.random.key(0), *(np.zeros((1, 8), np.int32),) * 3)["params"]
+    enc = AspireSimilarityModel(name="m", bert_config=cfg, params=params,
+                                tokenizer=tok, agg="l2max", max_sents=6)
+    with caplog.at_level(logging.WARNING, logger="aspire_tpu.evaluation.evaluate"):
+        run_evaluation(enc, ds, str(tmp_path / "res"), actions=("encode",),
+                       cache_path=None)
+    assert any("without a cache" in r.message for r in caplog.records)

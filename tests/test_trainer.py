@@ -149,3 +149,56 @@ def test_fused_accum_step_matches_scan_on_mesh(tmp_path, tok, rng):
                     jax.tree_util.tree_leaves(results[1][0])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_multi_epoch_global_best(tmp_path, tok, rng, monkeypatch):
+    """A worse epoch-2 dev score must NOT overwrite model_cur_best: the best
+    is tracked globally across epochs (reference trainer.py:222-246)."""
+    write_triples(tmp_path / "t.jsonl", 16, rng, with_align=True)
+    cfg = RunConfig.from_dict({
+        "model_name": "sbalisentbienc", "score_aggregation": "l2lse",
+        "sentsup_loss_prop": 1.0, "sent_loss_prop": 0.0,
+        "train_size": 16, "dev_size": 8, "batch_size": 8,
+        "accumulated_batch_size": 16, "num_epochs": 2,
+        "learning_rate": 1e-4, "num_warmup_steps": 2,
+        "lr_decay_method": "warmuplin", "es_check_every": 2,
+        "max_sents": 4, "update_rule": "adam", "decay_lr_every": 1})
+    mesh = make_mesh()
+    model = build_model(cfg.model, BertConfig.tiny())
+    trainer = Trainer(model, cfg, str(tmp_path / "run"), mesh=mesh)
+
+    # dev worsens in epoch 2
+    scores = iter([10.0, 5.0])
+    monkeypatch.setattr(Trainer, "dev_score",
+                        lambda self, st, db: next(scores))
+    saves = []
+    orig_save = Trainer.save_checkpoint
+
+    def spy(self, state, suffix):
+        saves.append((suffix, int(state.step)))
+        if suffix == "cur_best":
+            spy.best_params = jax.device_get(state.params)
+        orig_save(self, state, suffix)
+
+    monkeypatch.setattr(Trainer, "save_checkpoint", spy)
+    state = trainer.init_state(jax.random.key(0))
+    stream = TripleStream(str(tmp_path / "t.jsonl"), tok, cfg.model,
+                          micro_batch=8, n_micro=2, seq_len=32,
+                          align_type="cc_align")
+    state = trainer.train(state, stream, lambda: iter(()), epochs=2)
+
+    assert int(state.step) == 2          # one optimizer step per epoch
+    assert trainer.best_score == 10.0
+    # cur_best written exactly once, at the epoch-1 check (step 1)
+    assert [s for s in saves if s[0] == "cur_best"] == [("cur_best", 1)]
+    # and the checkpoint on disk still holds the epoch-1 params, which must
+    # differ from the final (epoch-2) params
+    cb = trainer.load_checkpoint("cur_best")
+    for a, b in zip(jax.tree_util.tree_leaves(cb),
+                    jax.tree_util.tree_leaves(spy.best_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    final = jax.device_get(state.params)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        cb, final)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
