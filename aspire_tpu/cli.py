@@ -54,6 +54,11 @@ def cmd_train(args):
     bert_config = BertConfig()  # full-size; tiny override for smoke tests
     if args.tiny:
         bert_config = BertConfig.tiny(vocab_size=tokenizer.vocab_size)
+    # position ids past the table produce garbage embeddings (NaN losses),
+    # so refuse the config instead of training nonsense
+    assert args.seq_len <= bert_config.max_position_embeddings, (
+        f"--seq-len {args.seq_len} exceeds the encoder's "
+        f"max_position_embeddings={bert_config.max_position_embeddings}")
     # persist the encoder architecture so eval-time loading reconstructs it
     cfg.extra["bert_config"] = dataclasses.asdict(bert_config)
     import jax.numpy as jnp
@@ -362,6 +367,12 @@ def build_parser():
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS even where a platform plugin (e.g. the axon TPU
+    # tunnel) would otherwise take precedence over the env var -- the config
+    # update must land before first device use
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     args = build_parser().parse_args(argv)
     _setup_logging(args)
     args.fn(args)
