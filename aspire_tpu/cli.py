@@ -159,56 +159,104 @@ def cmd_build_index(args):
           f"{args.n_shards} shards) -> {args.out}")
 
 
+def _resolve_ot_solver(name: str) -> str:
+    """'auto' -> pallas on TPU, xla elsewhere (interpret-mode pallas off-TPU
+    is orders of magnitude slower and deviates ~2e-3 from parity)."""
+    if name != "auto":
+        return name
+    import jax
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def cmd_rank(args):
+    """Rank query pools against a dense index: the production serving CLI.
+
+    All pool queries are encoded (h5-cached with --cache), batched through
+    ONE make_dense_search_batched call (sharded over a serving mesh with
+    --n-shards, intermediate bounded by --q-chunk), then OT-reranked per
+    query.  Mirrors pp_gen_nearest.py:207-363 ranking + :575-635 readable
+    neighbour dumps + :125-129 rep caching.
+    """
     import numpy as np
     import jax.numpy as jnp
 
     from .core.types import MultiVec
-    from .index.dense import (DenseBucketIndex, make_dense_search,
+    from .index.dense import (DenseBucketIndex, make_dense_search_batched,
                               flatten_device_buckets)
     from .index.serve import ot_rerank
     from .evaluation.datasets import EvalDataset
+    from .evaluation.ranking_eval import print_pool_neighbours
 
+    args.ot_solver = _resolve_ot_solver(args.ot_solver)
     idx = DenseBucketIndex.load(args.index)
     dataset = EvalDataset(args.dataset, args.dataset_dir)
     model = _load_eval_model(args)
-    dev = idx.device_arrays()
+    if args.cache:
+        model.set_encodings_cache(args.cache)
+    mesh = None
+    if args.n_shards > 1:
+        from .parallel.mesh import make_serving_mesh
+        mesh = make_serving_mesh(n_shards=args.n_shards)
+    dev = idx.device_arrays(mesh)
     flat = flatten_device_buckets(dev)
-    search = make_dense_search(len(dev), k=args.k, int8=idx.is_int8)
     pool = dataset.get_test_pool(facet=args.facet)
-    qmax = 32
-    ranked = {}
-    for qpid in pool:
-        q_enc = model.encode([dataset.get(qpid)])[0]
+    qpids = list(pool)
+
+    # encode every pool query (one cached bulk pass), then facet-filter
+    q_encs = model.get_encoding(qpids, dataset)
+    q_list = []
+    for qpid in qpids:
+        q = q_encs[qpid]
         if args.facet:
             # faceted search: only the query sentences labelled with the
             # facet participate (rank_pool_sentfaceted, pp_gen_nearest.py:988)
-            q_enc = model.get_faceted_encoding(q_enc, args.facet,
-                                               dataset.get(qpid))
-        q_len = min(len(q_enc), qmax)
-        q_pad = np.zeros((qmax, q_enc.shape[-1]), np.float32)
-        q_pad[:q_len] = q_enc[:q_len]
-        scores, docs = search(jnp.asarray(q_pad), jnp.int32(q_len), *flat)
-        docs_np = np.asarray(docs)
+            q = model.get_faceted_encoding(q, args.facet, dataset.get(qpid))
+        q_list.append(np.asarray(q, np.float32))
+
+    # derive the query-row capacity from the ACTUAL encodings (a faceted
+    # sentence+entity query can exceed any fixed guess), sublane-aligned
+    qmax = max(8, -(-max(len(q) for q in q_list) // 8) * 8)
+    q_chunk = max(1, min(args.q_chunk, len(q_list)))
+    bsz = -(-len(q_list) // q_chunk) * q_chunk   # pad queries to chunk multiple
+    dim = idx.dim
+    q_arr = np.zeros((bsz, qmax, dim), np.float32)
+    q_lens = np.ones((bsz,), np.int32)           # pad queries: 1 zero row
+    for i, q in enumerate(q_list):
+        q_arr[i, : len(q)] = q
+        q_lens[i] = len(q)
+    search = make_dense_search_batched(len(dev), k=args.k, int8=idx.is_int8,
+                                       mesh=mesh, q_chunk=q_chunk)
+    scores, docs = search(jnp.asarray(q_arr), jnp.asarray(q_lens), *flat)
+    scores, docs = np.asarray(scores), np.asarray(docs)
+
+    ranked = {}
+    for i, qpid in enumerate(qpids):
+        docs_i = docs[i][docs[i] >= 0]
         if args.rerank == "ot":
-            cands = idx.gather_doc_reps(docs_np, max_sents=args.max_sents)
+            cands = idx.gather_doc_reps(docs_i, max_sents=args.max_sents)
+            q_len = int(q_lens[i])
             q = MultiVec(
-                embed=jnp.zeros((1, cands.embed.shape[1], q_enc.shape[-1]),
-                                jnp.float32).at[0, :q_len].set(q_pad[:q_len]),
+                embed=jnp.zeros((1, cands.embed.shape[1], dim), jnp.float32)
+                .at[0, :q_len].set(q_arr[i, :q_len]),
                 lens=jnp.asarray([q_len]))
             sims = np.asarray(ot_rerank(q, cands, temp=args.ot_temp,
                                         solver=args.ot_solver))
             order = np.argsort(-sims)
-            ranked[qpid] = [[idx.pids[docs_np[i]], float(sims[i])] for i in order]
+            ranked[qpid] = [[idx.pids[docs_i[j]], float(sims[j])] for j in order]
         else:
             ranked[qpid] = [[idx.pids[d], float(s)]
-                            for d, s in zip(docs_np, np.asarray(scores))]
+                            for d, s in zip(docs_i, scores[i])]
     os.makedirs(args.out, exist_ok=True)
+    suffix = f"-{args.facet}" if args.facet else ""
     fname = os.path.join(
-        args.out, f"test-pid2pool-{args.dataset}-{args.model}"
-        + (f"-{args.facet}" if args.facet else "") + "-ranked.json")
+        args.out, f"test-pid2pool-{args.dataset}-{args.model}{suffix}-ranked.json")
     with open(fname, "w") as f:
         json.dump(ranked, f)
+    if not args.no_dumps:
+        # human-readable per-query neighbour files (pp_gen_nearest.py:575-635)
+        print_pool_neighbours(dataset, ranked,
+                              os.path.join(args.out, f"neighbours{suffix}"),
+                              top_k=args.dump_k)
     print(f"ranked {len(ranked)} queries -> {fname}")
 
 
@@ -326,10 +374,22 @@ def build_parser():
     r.add_argument("--k", type=int, default=100)
     r.add_argument("--rerank", choices=["none", "ot"], default="none")
     r.add_argument("--ot-temp", type=float, default=5000.0)
-    r.add_argument("--ot-solver", choices=["pallas", "xla"], default="pallas",
-                   help="rerank solver: pallas (production; 1.4-3x at "
-                        "serving k) or xla (strict reference-parity scores)")
+    r.add_argument("--ot-solver", choices=["auto", "pallas", "xla"],
+                   default="auto",
+                   help="rerank solver: auto (pallas on TPU -- 1.4-3x at "
+                        "serving k -- xla elsewhere), or force one; xla "
+                        "gives strict reference-parity scores")
     r.add_argument("--max-sents", type=int, default=24)
+    r.add_argument("--cache", help="h5 query-encoding cache (reference "
+                                   "joblib rep cache, pp_gen_nearest.py:125)")
+    r.add_argument("--n-shards", type=int, default=1,
+                   help="serving mesh shards (>1: multi-chip sharded search)")
+    r.add_argument("--q-chunk", type=int, default=8,
+                   help="query-batch chunk bounding the scan intermediate")
+    r.add_argument("--no-dumps", action="store_true",
+                   help="skip the readable per-query neighbour dumps")
+    r.add_argument("--dump-k", type=int, default=10,
+                   help="neighbours per query in the readable dumps")
     r.add_argument("--run-dir")
     r.add_argument("--weights-dir")
     r.add_argument("--tokenizer")

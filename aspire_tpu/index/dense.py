@@ -286,6 +286,18 @@ def _bucket_topk(q, q_norms, q_len, bucket, k: int):
     return v, doc_idx[i]
 
 
+def _topk_padded(v, d, k: int):
+    """top_k over the last axis, padding the candidate pool with NEG/-1 when
+    it holds fewer than k entries (tiny shards/buckets)."""
+    m = v.shape[-1]
+    if m < k:
+        pad = [(0, 0)] * (v.ndim - 1) + [(0, k - m)]
+        v = jnp.pad(v, pad, constant_values=NEG)
+        d = jnp.pad(d, pad, constant_values=-1)
+    vk, ik = jax.lax.top_k(v, k)
+    return vk, jnp.take_along_axis(d, ik, axis=-1)
+
+
 def _unflatten_buckets(flat, n_buckets: int, int8: bool) -> list[dict]:
     per = 4 if int8 else 3
     keys = ("sents", "norms", "doc_idx", "scales")[:per]
@@ -314,8 +326,7 @@ def make_dense_search(n_buckets: int, k: int, mesh: Mesh | None = None,
             ds.append(d)
         v = jnp.concatenate(vs)
         d = jnp.concatenate(ds)
-        vk, ik = jax.lax.top_k(v, k)
-        return vk, d[ik]
+        return _topk_padded(v, d, k)
 
     def _finish(v, d):
         return -jnp.sqrt(jnp.maximum(-v, 0.0)), d
@@ -404,8 +415,7 @@ def make_dense_search_batched(n_buckets: int, k: int, int8: bool = False,
             ds.append(dd)
         v = jnp.concatenate(vs, axis=1)
         dd = jnp.concatenate(ds, axis=1)
-        vk, ik = jax.lax.top_k(v, k)
-        return vk, jnp.take_along_axis(dd, ik, axis=1)
+        return _topk_padded(v, dd, k)
 
     def _score_local(q, q_lens, *flat):
         buckets = _unflatten_buckets(flat, n_buckets, int8)

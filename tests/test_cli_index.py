@@ -75,6 +75,40 @@ def test_build_index_and_rank(tmp_path, rng):
     for qpid, cands in ranked.items():
         top2 = {c for c, _ in cands[:2]}
         assert top2 == {f"{qpid}c0", f"{qpid}c1"}, (qpid, cands[:4])
+    # readable neighbour dumps written per query (pp_gen_nearest.py:575-635)
+    for qpid in ranked:
+        assert (tmp_path / "ranked" / "neighbours" /
+                f"{qpid}-neighbours.txt").exists()
+
+    # sharded serving mesh + query-encoding cache: identical rankings
+    r3b = run_cli(["rank", "--index", str(tmp_path / "idx"),
+                   "--dataset", "toy", "--dataset-dir", str(tmp_path),
+                   "--model", "miswordbienc", "--run-dir", str(tmp_path / "run"),
+                   "--tokenizer", str(vocab_dir),
+                   "--out", str(tmp_path / "ranked_sh"), "--k", "8",
+                   "--rerank", "ot", "--n-shards", "8", "--q-chunk", "2",
+                   "--cache", str(tmp_path / "qenc.h5"), "--no-dumps"],
+                  cwd=str(tmp_path))
+    assert r3b.returncode == 0, r3b.stderr[-2000:]
+    ranked_sh = json.loads((tmp_path / "ranked_sh" /
+                            "test-pid2pool-toy-miswordbienc-ranked.json").read_text())
+    assert {q: [c for c, _ in v] for q, v in ranked.items()} == \
+           {q: [c for c, _ in v] for q, v in ranked_sh.items()}
+    assert (tmp_path / "qenc.h5").exists()
+    # second run must reuse the cache (results unchanged)
+    r3c = run_cli(["rank", "--index", str(tmp_path / "idx"),
+                   "--dataset", "toy", "--dataset-dir", str(tmp_path),
+                   "--model", "miswordbienc", "--run-dir", str(tmp_path / "run"),
+                   "--tokenizer", str(vocab_dir),
+                   "--out", str(tmp_path / "ranked_c2"), "--k", "8",
+                   "--rerank", "ot",
+                   "--cache", str(tmp_path / "qenc.h5"), "--no-dumps"],
+                  cwd=str(tmp_path))
+    assert r3c.returncode == 0, r3c.stderr[-2000:]
+    ranked_c2 = json.loads((tmp_path / "ranked_c2" /
+                            "test-pid2pool-toy-miswordbienc-ranked.json").read_text())
+    assert {q: [c for c, _ in v] for q, v in ranked.items()} == \
+           {q: [c for c, _ in v] for q, v in ranked_c2.items()}
 
     # int8 storage + bf16 encode: same top candidates through the same CLI
     r4 = run_cli(["build-index", "--corpus", str(tmp_path / "corpus.jsonl"),
