@@ -148,8 +148,14 @@ def cmd_build_index(args):
         pids.append(rec["paper_id"])
         corpus.append({"TITLE": rec["title"], "ABSTRACT": rec["abstract"]})
     reps = []
+    import time
+    t0 = time.time()
     for i in range(0, len(corpus), args.batch_size):
         reps.extend(model.encode(corpus[i:i + args.batch_size]))
+        if i and (i // args.batch_size) % 20 == 0:
+            done = i + args.batch_size
+            logging.info("encoded %d/%d docs (%.1f docs/s)", done,
+                         len(corpus), done / (time.time() - t0))
     import ml_dtypes
     dtype = ("int8" if args.int8 else
              ml_dtypes.bfloat16 if args.bf16 else np.float32)
