@@ -157,7 +157,7 @@ class AspireSimilarityModel(SimilarityModel):
         # re-transfer the full model (440 MB for BERT-base) on EVERY call --
         # over the tunneled backend that throttled corpus encoding to the
         # network, not the chip
-        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.params = jax.device_put(params)
         self.tokenizer = tokenizer
         self.max_sents = max_sents
         self.agg = agg
@@ -413,8 +413,7 @@ class SbertSimilarityModel(SimilarityModel):
             from ..models.convert import params_from_hf_model, config_from_hf
             hf = transformers.AutoModel.from_pretrained(weights_dir)
             cfg = config_from_hf(hf.config)
-            params = jax.tree_util.tree_map(jnp.asarray,
-                                            params_from_hf_model(hf, cfg))
+            params = jax.device_put(params_from_hf_model(hf, cfg))
             enc = BertModel(cfg)
 
             @jax.jit
@@ -477,7 +476,7 @@ class TrainedSentSimilarityModel(SimilarityModel):
         self.max_toks = max_toks
         enc = BertModel(bert_config)
 
-        params = jax.tree_util.tree_map(jnp.asarray, params)  # on-device once
+        params = jax.device_put(params)  # on-device once
         _encode = jax.jit(lambda p, t, a: enc.apply(
             {"params": p}, t, a)[0][:, 0, :])  # params as arg (see Aspire model)
         self._encode_jit = lambda *xs: _encode(params, *xs)
@@ -526,7 +525,7 @@ class ClsSimilarityModel(SimilarityModel):
         super().__init__(name=name, encoding_type=encoding_type, batch_size=batch_size)
         self.tokenizer = tokenizer
         self.max_toks = max_toks
-        params = jax.tree_util.tree_map(jnp.asarray, params)  # on-device once
+        params = jax.device_put(params)  # on-device once
         if layer_mix is not None:
             enc = BiEncoder(bert_config)
             full = {"bert": params, "layer_weights": jnp.asarray(layer_mix)}
