@@ -114,6 +114,8 @@ def _load_eval_model(args):
 
 
 def cmd_evaluate(args):
+    from .train.trainer import enable_compilation_cache
+    enable_compilation_cache()
     from .evaluation.datasets import EvalDataset
     from .evaluation.evaluate import run_evaluation
 
@@ -131,6 +133,9 @@ def cmd_evaluate(args):
 def cmd_build_index(args):
     import numpy as np
     from transformers import AutoTokenizer
+
+    from .train.trainer import enable_compilation_cache
+    enable_compilation_cache()
 
     from .data.readers import read_jsonl
     from .evaluation.models import AspireSimilarityModel
@@ -186,10 +191,10 @@ def cmd_rank(args):
     import numpy as np
     import jax.numpy as jnp
 
-    from .core.types import MultiVec
+    from .train.trainer import enable_compilation_cache
+    enable_compilation_cache()
     from .index.dense import (DenseBucketIndex, make_dense_search_batched,
                               flatten_device_buckets)
-    from .index.serve import ot_rerank
     from .evaluation.datasets import EvalDataset
     from .evaluation.ranking_eval import print_pool_neighbours
 
@@ -230,26 +235,36 @@ def cmd_rank(args):
     for i, q in enumerate(q_list):
         q_arr[i, : len(q)] = q
         q_lens[i] = len(q)
-    search = make_dense_search_batched(len(dev), k=args.k, int8=idx.is_int8,
-                                       mesh=mesh, q_chunk=q_chunk)
-    scores, docs = search(jnp.asarray(q_arr), jnp.asarray(q_lens), *flat)
-    scores, docs = np.asarray(scores), np.asarray(docs)
-
     ranked = {}
-    for i, qpid in enumerate(qpids):
-        docs_i = docs[i][docs[i] >= 0]
-        if args.rerank == "ot":
-            cands = idx.gather_doc_reps(docs_i, max_sents=args.max_sents)
-            q_len = int(q_lens[i])
-            q = MultiVec(
-                embed=jnp.zeros((1, cands.embed.shape[1], dim), jnp.float32)
-                .at[0, :q_len].set(q_arr[i, :q_len]),
-                lens=jnp.asarray([q_len]))
-            sims = np.asarray(ot_rerank(q, cands, temp=args.ot_temp,
-                                        solver=args.ot_solver))
-            order = np.argsort(-sims)
-            ranked[qpid] = [[idx.pids[docs_i[j]], float(sims[j])] for j in order]
-        else:
+    if args.rerank == "ot":
+        # FUSED path: search + device candidate gather + Sinkhorn rerank in
+        # ONE jitted dispatch for the whole (padded) query pool -- no host
+        # round trip between the stages (index.serve.make_fused_query_batched;
+        # per-query results proven identical to the staged
+        # search/gather_doc_reps/ot_rerank pipeline, tests/test_fused_query.py)
+        from .index.serve import make_fused_query_batched
+        pos = idx.device_pos_arrays(mesh)
+        fused = make_fused_query_batched(
+            len(dev), k=args.k, max_sents=args.max_sents, int8=idx.is_int8,
+            mesh=mesh, q_chunk=q_chunk, temp=args.ot_temp,
+            solver=args.ot_solver)
+        _, docs, sims = fused(jnp.asarray(q_arr), jnp.asarray(q_lens),
+                              *flat, *pos)
+        docs, sims = np.asarray(docs), np.asarray(sims)
+        for i, qpid in enumerate(qpids):
+            real = docs[i] >= 0
+            docs_i, sims_i = docs[i][real], sims[i][real]
+            order = np.argsort(-sims_i)
+            ranked[qpid] = [[idx.pids[docs_i[j]], float(sims_i[j])]
+                            for j in order]
+    else:
+        search = make_dense_search_batched(len(dev), k=args.k,
+                                           int8=idx.is_int8, mesh=mesh,
+                                           q_chunk=q_chunk)
+        scores, docs = search(jnp.asarray(q_arr), jnp.asarray(q_lens), *flat)
+        scores, docs = np.asarray(scores), np.asarray(docs)
+        for i, qpid in enumerate(qpids):
+            docs_i = docs[i][docs[i] >= 0]
             ranked[qpid] = [[idx.pids[d], float(s)]
                             for d, s in zip(docs_i, scores[i])]
     os.makedirs(args.out, exist_ok=True)

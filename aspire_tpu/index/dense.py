@@ -160,6 +160,21 @@ class DenseBucketIndex:
             out.append(dev)
         return out
 
+    def device_pos_arrays(self, mesh: Mesh | None = None) -> tuple:
+        """Device copies of the doc->(bucket, row) inverse map + doc lens.
+
+        Feeds the FUSED query path (index.serve.make_fused_query): candidate
+        gathering happens on device, so serving pays zero host round trips
+        between search and rerank.  Replicated under a serving mesh (the
+        bucket arrays are the sharded part)."""
+        self._ensure_doc_pos()
+        arrs = (jnp.asarray(self._doc_bucket), jnp.asarray(self._doc_row),
+                jnp.asarray(np.asarray(self.doc_lens, np.int32)))
+        if mesh is not None:
+            sh = NamedSharding(mesh, P())
+            arrs = tuple(jax.device_put(a, sh) for a in arrs)
+        return arrs
+
     def gather_doc_reps(self, doc_idx, max_sents: int):
         """Host-side gather of per-doc sentence reps for the rerank stage.
 
@@ -305,6 +320,22 @@ def _unflatten_buckets(flat, n_buckets: int, int8: bool) -> list[dict]:
             for i in range(n_buckets)]
 
 
+def score_buckets(buckets: list[dict], q, q_len, k: int):
+    """Top-k l2max doc scores over a list of (device) bucket dicts.
+
+    q: f32[qmax, d]; -> (sq-l2max scores [k], global doc idx [k]).
+    Shared by the plain/batched/fused search builders; usable inside jit
+    and inside shard_map bodies (buckets then hold block-local views)."""
+    q = q.astype(jnp.float32)
+    q_norms = jnp.sum(q * q, axis=1)
+    vs, ds = [], []
+    for b in buckets:
+        v, d = _bucket_topk(q, q_norms, q_len, b, k)
+        vs.append(v)
+        ds.append(d)
+    return _topk_padded(jnp.concatenate(vs), jnp.concatenate(ds), k)
+
+
 def make_dense_search(n_buckets: int, k: int, mesh: Mesh | None = None,
                       int8: bool = False):
     """Build the jitted search fn over device bucket arrays.
@@ -317,16 +348,7 @@ def make_dense_search(n_buckets: int, k: int, mesh: Mesh | None = None,
 
     def _score_local(q, q_len, *flat):
         buckets = _unflatten_buckets(flat, n_buckets, int8)
-        q = q.astype(jnp.float32)
-        q_norms = jnp.sum(q * q, axis=1)
-        vs, ds = [], []
-        for b in buckets:
-            v, d = _bucket_topk(q, q_norms, q_len, b, k)
-            vs.append(v)
-            ds.append(d)
-        v = jnp.concatenate(vs)
-        d = jnp.concatenate(ds)
-        return _topk_padded(v, d, k)
+        return score_buckets(buckets, q, q_len, k)
 
     def _finish(v, d):
         return -jnp.sqrt(jnp.maximum(-v, 0.0)), d
@@ -384,6 +406,35 @@ def _bucket_topk_batched(q, q_norms, q_lens, bucket, k: int):
     return v, doc_idx[i]
 
 
+def score_buckets_batched(buckets: list[dict], q, q_lens, k: int,
+                          q_chunk: int | None = None):
+    """Batched-query top-k over device bucket dicts (see score_buckets).
+
+    q: [B, Qmax, d]; q_lens: i32[B]; -> (scores [B, k], doc idx [B, k]).
+    q_chunk bounds the [c, n, s, q] similarity intermediate (must divide B).
+    """
+    def _chunk(qc, qlc):
+        qf = qc.astype(jnp.float32)
+        q_norms = jnp.sum(qf * qf, axis=2)
+        vs, ds = [], []
+        for b in buckets:
+            v, dd = _bucket_topk_batched(qc, q_norms, qlc, b, k)
+            vs.append(v)
+            ds.append(dd)
+        return _topk_padded(jnp.concatenate(vs, axis=1),
+                            jnp.concatenate(ds, axis=1), k)
+
+    bsz = q.shape[0]
+    if q_chunk is None or q_chunk >= bsz:
+        return _chunk(q, q_lens)
+    assert bsz % q_chunk == 0, (
+        f"q_chunk={q_chunk} must divide the query batch {bsz}")
+    qr = q.reshape(bsz // q_chunk, q_chunk, *q.shape[1:])
+    qlr = q_lens.reshape(bsz // q_chunk, q_chunk)
+    vk, ik = jax.lax.map(lambda xs: _chunk(*xs), (qr, qlr))
+    return vk.reshape(bsz, k), ik.reshape(bsz, k)
+
+
 def make_dense_search_batched(n_buckets: int, k: int, int8: bool = False,
                               mesh: Mesh | None = None,
                               q_chunk: int | None = None):
@@ -405,29 +456,9 @@ def make_dense_search_batched(n_buckets: int, k: int, int8: bool = False,
       per chunk.  Must divide B.
     """
 
-    def _score_chunk(buckets, qc, qlc):
-        qf = qc.astype(jnp.float32)
-        q_norms = jnp.sum(qf * qf, axis=2)
-        vs, ds = [], []
-        for b in buckets:
-            v, dd = _bucket_topk_batched(qc, q_norms, qlc, b, k)
-            vs.append(v)
-            ds.append(dd)
-        v = jnp.concatenate(vs, axis=1)
-        dd = jnp.concatenate(ds, axis=1)
-        return _topk_padded(v, dd, k)
-
     def _score_local(q, q_lens, *flat):
         buckets = _unflatten_buckets(flat, n_buckets, int8)
-        bsz = q.shape[0]
-        if q_chunk is None or q_chunk >= bsz:
-            return _score_chunk(buckets, q, q_lens)
-        assert bsz % q_chunk == 0, (
-            f"q_chunk={q_chunk} must divide the query batch {bsz}")
-        qr = q.reshape(bsz // q_chunk, q_chunk, *q.shape[1:])
-        qlr = q_lens.reshape(bsz // q_chunk, q_chunk)
-        vk, ik = jax.lax.map(lambda xs: _score_chunk(buckets, *xs), (qr, qlr))
-        return vk.reshape(bsz, k), ik.reshape(bsz, k)
+        return score_buckets_batched(buckets, q, q_lens, k, q_chunk)
 
     def _finish(v, d):
         return -jnp.sqrt(jnp.maximum(-v, 0.0)), d

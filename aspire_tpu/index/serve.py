@@ -165,6 +165,232 @@ def l2max_rerank(q: MultiVec, cands: MultiVec):
     return sims
 
 
+def _gather_candidates(buckets, doc_bucket, doc_row, doc_lens, cand_ids,
+                       max_sents: int, axis_name: str | None = None):
+    """On-device candidate rep gather for the fused query path.
+
+    buckets: device bucket dicts (block-local views inside shard_map);
+    doc_bucket/doc_row/doc_lens: replicated [n_docs] inverse maps
+    (DenseBucketIndex.device_pos_arrays); cand_ids: i32[k] global doc ids
+    (-1 = pad).  Returns (embed f32[k, max_sents, d], lens i32[k],
+    owned bool[k], valid bool[k]); under a mesh each shard fills only the
+    rows it owns (zeros elsewhere) and `owned` marks them -- the caller
+    reranks locally and psums the per-candidate scores, so only k floats
+    cross ICI instead of the gathered [k, max_sents, d] block.
+
+    Replaces the reference's host-side dict fetch of candidate reps
+    (pp_gen_nearest.py:207-363) with pure device gathers: a trusted-region
+    serving step never leaves the chip between search and rerank.
+    """
+    k = cand_ids.shape[0]
+    valid = cand_ids >= 0
+    cid = jnp.maximum(cand_ids, 0)
+    cb = doc_bucket[cid]
+    cr = doc_row[cid]
+    cl = jnp.where(valid, jnp.minimum(doc_lens[cid], max_sents), 1)
+    cl = jnp.maximum(cl, 1).astype(jnp.int32)
+    dim = buckets[0]["sents"].shape[-1]
+    me = None if axis_name is None else jax.lax.axis_index(axis_name)
+    out = jnp.zeros((k, max_sents, dim), jnp.float32)
+    owned = jnp.zeros((k,), bool)
+    for bi, b in enumerate(buckets):
+        sel = (cb == bi) & valid
+        if me is None:
+            rows = jnp.where(sel, cr, 0)
+        else:
+            local_n = b["sents"].shape[0]
+            sel = sel & (cr // local_n == me)
+            rows = jnp.where(sel, cr % local_n, 0)
+        reps = b["sents"][rows].astype(jnp.float32)      # [k, s_b, d]
+        if "scales" in b:
+            reps = reps * b["scales"][rows][:, :, None]
+        s_eff = min(reps.shape[1], max_sents)
+        reps = reps[:, :s_eff]
+        smask = jnp.arange(s_eff, dtype=jnp.int32)[None, :] < cl[:, None]
+        reps = jnp.where((sel[:, None] & smask)[:, :, None], reps, 0.0)
+        out = out.at[:, :s_eff].add(reps)
+        owned = owned | sel
+    return out, cl, owned, valid
+
+
+_BIG = 3.0e38
+
+
+def _mesh_pool_diameter(q, emb, owned, valid, axis_name):
+    """Exact whole-pool annealing diameter, assembled over the mesh.
+
+    Single-device geomloss semantics: the eps-schedule starts at the
+    diameter of the box spanning ALL points of both clouds, pads included
+    (ops/sinkhorn.py:max_diameter).  Under shard_map each shard holds only
+    the candidate rows it owns (zeros elsewhere), so the local box is
+    wrong; a pmin/pmax of the per-coordinate extrema over `axis_name`
+    recovers the exact global box for 2*d floats of ICI traffic.
+
+    Batched over query groups: q [B, qmax, d] (replicated); emb
+    [B, k, ms, d] local gather; owned [B, k] this shard's candidates;
+    valid [B, k] non-pad candidates (replicated).  Returns f32[B] -- one
+    pmin/pmax pair total, 2*B*d floats of ICI.  Pad candidates contribute
+    zero rows on every device in the single-device path, so the box
+    closes over 0 when any exist.
+    """
+    sel = owned[:, :, None, None]
+    y_min = jnp.min(jnp.where(sel, emb, _BIG), axis=(1, 2))     # [B, d]
+    y_max = jnp.max(jnp.where(sel, emb, -_BIG), axis=(1, 2))
+    y_min = jax.lax.pmin(y_min, axis_name)
+    y_max = jax.lax.pmax(y_max, axis_name)
+    pad0 = jnp.any(~valid, axis=1)[:, None]                     # [B, 1]
+    mins = jnp.minimum(jnp.minimum(jnp.min(q, axis=1), y_min),
+                       jnp.where(pad0, 0.0, _BIG))
+    maxs = jnp.maximum(jnp.maximum(jnp.max(q, axis=1), y_max),
+                       jnp.where(pad0, 0.0, -_BIG))
+    return jnp.linalg.norm(maxs - mins, axis=-1)
+
+
+def make_fused_query(n_buckets: int, k: int, max_sents: int,
+                     int8: bool = False, mesh: Mesh | None = None,
+                     blur: float = 0.05, scaling: float = 0.9,
+                     temp: float = 1.0, max_iters: int = 128,
+                     solver: str = "xla"):
+    """ONE-dispatch serving query: search + candidate gather + OT rerank.
+
+    The reference's query path is three host-mediated stages (NN scan,
+    dict fetch of candidate reps, OT rescore -- pp_gen_nearest.py:207-363,
+    729-985).  Here all three run inside a single jitted program, so a
+    query costs one dispatch and one device_get regardless of backend
+    distance; nothing touches the host in between.
+
+    Returns fn(q [qmax, d], q_len, *bucket_arrays, doc_bucket, doc_row,
+    doc_lens) -> (stage1 scores f32[k] (-L2, reference scale), doc_idx
+    i32[k], ot_sims f32[k] (NEG at pad slots)).  Extra args come from
+    DenseBucketIndex.device_arrays(mesh) + .device_pos_arrays(mesh).
+
+    mesh: bucket arrays sharded over `shard`; each shard gathers and
+    reranks only candidates whose rows it owns, then one psum of k floats
+    merges the scores over ICI.
+    """
+    from .dense import _unflatten_buckets, score_buckets
+
+    per = 4 if int8 else 3
+
+    def _rerank_sims(q, q_len, cand_embed, cand_lens, diam=None):
+        kk = cand_embed.shape[0]
+        qt = MultiVec(
+            embed=jnp.broadcast_to(q[None], (kk,) + q.shape).astype(
+                jnp.float32),
+            lens=jnp.broadcast_to(jnp.asarray(q_len, jnp.int32)[None], (kk,)))
+        sims, _ = wasserstein_dist(
+            qt, MultiVec(embed=cand_embed, lens=cand_lens), blur=blur,
+            scaling=scaling, temp=temp, return_pair_sims=True,
+            max_iters=max_iters, solver=solver, diameter_value=diam)
+        return sims
+
+    def _local(q, q_len, *rest):
+        flat, (db, dr, dl) = rest[:-3], rest[-3:]
+        buckets = _unflatten_buckets(flat, n_buckets, int8)
+        v, d = score_buckets(buckets, q.astype(jnp.float32), q_len, k)
+        if mesh is not None:
+            v_all = jax.lax.all_gather(v, "shard").reshape(-1)
+            d_all = jax.lax.all_gather(d, "shard").reshape(-1)
+            v, pos = jax.lax.top_k(v_all, k)
+            d = d_all[pos]
+        emb, cl, owned, valid = _gather_candidates(
+            buckets, db, dr, dl, d, max_sents,
+            axis_name=None if mesh is None else "shard")
+        diam = None
+        if mesh is not None:
+            diam = _mesh_pool_diameter(
+                q.astype(jnp.float32)[None], emb[None], owned[None],
+                valid[None], "shard")[0]
+        sims = _rerank_sims(q, q_len, emb, cl, diam)
+        if mesh is not None:
+            sims = jax.lax.psum(jnp.where(owned, sims, 0.0), "shard")
+        sims = jnp.where(valid, sims, NEG)
+        return -jnp.sqrt(jnp.maximum(-v, 0.0)), d, sims
+
+    if mesh is None:
+        return jax.jit(_local)
+    in_specs = tuple([P(), P()] + [P("shard")] * (per * n_buckets)
+                     + [P(), P(), P()])
+    fn = shard_map(_local, mesh=mesh, in_specs=in_specs,
+                   out_specs=(P(), P(), P()), check_vma=False)
+    return jax.jit(fn)
+
+
+def make_fused_query_batched(n_buckets: int, k: int, max_sents: int,
+                             int8: bool = False, mesh: Mesh | None = None,
+                             q_chunk: int | None = None, blur: float = 0.05,
+                             scaling: float = 0.9, temp: float = 1.0,
+                             max_iters: int = 128, solver: str = "xla"):
+    """Batched fused serving: B queries -> search + gather + rerank, one
+    dispatch.  fn(q [B, qmax, d], q_lens i32[B], *bucket_arrays,
+    doc_bucket, doc_row, doc_lens) -> (stage1 scores [B, k], doc_idx
+    [B, k], ot_sims [B, k]).  See make_fused_query; candidate gather and
+    rerank flatten the [B, k] pool to B*k pairs for the batched Sinkhorn
+    solver.  Under a mesh only the [B, k] score block psums over ICI."""
+    from .dense import _unflatten_buckets, score_buckets_batched
+
+    per = 4 if int8 else 3
+
+    def _local(q, q_lens, *rest):
+        flat, (db, dr, dl) = rest[:-3], rest[-3:]
+        buckets = _unflatten_buckets(flat, n_buckets, int8)
+        bsz = q.shape[0]
+        v, d = score_buckets_batched(buckets, q, q_lens, k, q_chunk)
+        if mesh is not None:
+            v_all = jax.lax.all_gather(v, "shard")       # [n_shards, B, k]
+            d_all = jax.lax.all_gather(d, "shard")
+            v_all = jnp.moveaxis(v_all, 0, 1).reshape(bsz, -1)
+            d_all = jnp.moveaxis(d_all, 0, 1).reshape(bsz, -1)
+            v, pos = jax.lax.top_k(v_all, k)
+            d = jnp.take_along_axis(d_all, pos, axis=1)
+        emb, cl, owned, valid = _gather_candidates(
+            buckets, db, dr, dl, d.reshape(-1), max_sents,
+            axis_name=None if mesh is None else "shard")
+
+        # rerank per query group (lax.map over B): the annealing schedule's
+        # diameter must cover exactly one query's candidate pool to match
+        # the reference's per-query geomloss call (and the single-query
+        # fused path bit-for-bit); a flat B*k solve would couple queries
+        # through the shared diameter.  Search -- the expensive stage --
+        # stays batched; each map step is one k-pair batched solve.
+        embB = emb.reshape(bsz, k, max_sents, -1)
+        if mesh is None:
+            diamB = jnp.zeros((bsz,), jnp.float32)   # unused
+        else:
+            diamB = _mesh_pool_diameter(
+                q.astype(jnp.float32), embB, owned.reshape(bsz, k),
+                valid.reshape(bsz, k), "shard")
+
+        def _rr(xs):
+            qi, ql, emb_i, cl_i, di = xs
+            qt = MultiVec(
+                embed=jnp.broadcast_to(qi[None], (k,) + qi.shape),
+                lens=jnp.broadcast_to(ql[None], (k,)))
+            s, _ = wasserstein_dist(
+                qt, MultiVec(embed=emb_i, lens=cl_i), blur=blur,
+                scaling=scaling, temp=temp, return_pair_sims=True,
+                max_iters=max_iters, solver=solver,
+                diameter_value=None if mesh is None else di)
+            return s
+
+        sims = jax.lax.map(_rr, (q.astype(jnp.float32),
+                                 q_lens.astype(jnp.int32),
+                                 embB, cl.reshape(bsz, k),
+                                 diamB)).reshape(-1)
+        if mesh is not None:
+            sims = jax.lax.psum(jnp.where(owned, sims, 0.0), "shard")
+        sims = jnp.where(valid, sims, NEG).reshape(bsz, k)
+        return -jnp.sqrt(jnp.maximum(-v, 0.0)), d, sims
+
+    if mesh is None:
+        return jax.jit(_local)
+    in_specs = tuple([P(), P()] + [P("shard")] * (per * n_buckets)
+                     + [P(), P(), P()])
+    fn = shard_map(_local, mesh=mesh, in_specs=in_specs,
+                   out_specs=(P(), P(), P()), check_vma=False)
+    return jax.jit(fn)
+
+
 def sharded_l2max_search(index, mesh: Mesh, q_sents: np.ndarray,
                          q_len: int, k: int = 50):
     """Convenience one-shot sharded search from a host-side index."""

@@ -145,6 +145,7 @@ def wasserstein_dist(
     max_iters: int = 128,
     diameter: str = "global",
     solver: str = "xla",
+    diameter_value: jax.Array | None = None,
 ):
     """Optimal-transport multi-match scoring (otAspire).
 
@@ -175,12 +176,13 @@ def wasserstein_dist(
             return sinkhorn_potentials_pallas(
                 a, query.embed, b, cand.embed, blur=blur, scaling=scaling,
                 max_iters=max_iters, cost=cost, use_cost=True,
-                diameter=diameter,
+                diameter=diameter, diameter_value=diameter_value,
                 interpret=jax.default_backend() != "tpu")
         return sinkhorn_potentials(
             a, query.embed, b, cand.embed,
             blur=blur, scaling=scaling, reach=reach, max_iters=max_iters,
             diameter=diameter, cost=cost, use_cost=True,
+            diameter_value=diameter_value,
         )
 
     if not return_pair_sims:

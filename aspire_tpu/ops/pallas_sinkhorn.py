@@ -101,6 +101,7 @@ def sinkhorn_potentials_pallas(
     batch_tile: int = 256, interpret: bool = False,
     cost: jax.Array | None = None, use_cost: bool = False,
     diameter: str = "global",
+    diameter_value: jax.Array | None = None,
 ):
     """Drop-in forward replacement for sinkhorn_potentials (balanced case).
 
@@ -116,7 +117,10 @@ def sinkhorn_potentials_pallas(
     m = b.shape[1]
     if not use_cost:
         cost = pairwise_l2(x, y)
-    if diameter == "pair":
+    if diameter_value is not None:
+        diam = jnp.broadcast_to(jnp.asarray(diameter_value, jnp.float32),
+                                (bsz,))
+    elif diameter == "pair":
         diam = pairwise_diameter(x, y)                         # [bsz]
     else:
         diam = jnp.broadcast_to(max_diameter(x, y), (bsz,))    # [bsz]

@@ -107,6 +107,7 @@ def sinkhorn_potentials(
     cost: jax.Array | None = None,
     use_cost: bool = False,
     diameter: str = "global",
+    diameter_value: jax.Array | None = None,
 ):
     """Solve regularized OT between weighted point clouds; return potentials.
 
@@ -121,6 +122,12 @@ def sinkhorn_potentials(
         batch element from its own diameter (geomloss on 1x1 calls -- the
         reference's evaluate.py path; batched scores become independent of
         batch composition).
+    diameter_value: optional precomputed annealing-start diameter (scalar or
+        f32[bsz]), overriding the local computation.  Used by the sharded
+        fused query path, where each shard holds only the candidate rows it
+        owns: the true whole-pool diameter is assembled with a pmin/pmax over
+        the mesh and passed down so every shard runs the exact schedule the
+        single-device solve would.
 
     Returns (f, g): potentials f32[bsz, n], f32[bsz, m] such that the balanced
     OT cost is sum(a * f + b * g) -- exactly geomloss's potentials=True output
@@ -135,7 +142,10 @@ def sinkhorn_potentials(
     c_yx = jnp.swapaxes(c_xy, 1, 2)
 
     bsz = a.shape[0]
-    if diameter == "pair":
+    if diameter_value is not None:
+        diam = jnp.broadcast_to(jnp.asarray(diameter_value, jnp.float32),
+                                (bsz,))
+    elif diameter == "pair":
         diam = pairwise_diameter(x, y)                      # [bsz]
     else:
         diam = jnp.broadcast_to(max_diameter(x, y), (bsz,))  # [bsz]

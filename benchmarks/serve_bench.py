@@ -173,6 +173,29 @@ def main():
                       "tunnel_rtt_ms": round(rtt * 1000, 3),
                       "vs_target_5ms": round((wall - 2 * rtt) * 1000 / 5.0, 3)}))
 
+    # ---- FUSED one-dispatch path: the same three stages inside ONE jit ----
+    # search + device candidate gather + OT rerank with no host in between
+    # (index.serve.make_fused_query): the honest end-to-end number -- a
+    # query costs one dispatch + one device_get no matter how far the host
+    # sits from the chip.
+    from aspire_tpu.index.serve import make_fused_query, make_fused_query_batched
+    pos8 = idx8.device_pos_arrays()
+    fq = make_fused_query(len(dev8), k=64, max_sents=20, int8=True,
+                          temp=5000.0, scaling=0.9, max_iters=128,
+                          solver="pallas")
+
+    def one_fused(acc, qpad, *rest):
+        v, d, s = fq(qpad + acc * 0.0, jnp.int32(10), *rest)
+        return s[0]
+
+    dt_fq = timed_loop(one_fused, 30, qpad, *flat8, *pos8)
+    print(json.dumps({"metric": "fused_query_path_ms_int8",
+                      "docs": args.docs, "k": 64,
+                      "value": round(dt_fq * 1000, 3), "unit": "ms",
+                      "note": "search + device candidate gather + OT rerank "
+                              "fused in one jitted dispatch",
+                      "vs_target_5ms": round(dt_fq * 1000 / 5.0, 3)}))
+
     # ---- batched-query serving (B=32): per-query cost amortized ----
     B = 32
     from aspire_tpu.index.dense import make_dense_search_batched
@@ -190,6 +213,22 @@ def main():
                       "value": round(dt_b * 1000 / B, 3), "unit": "ms",
                       "batch_ms": round(dt_b * 1000, 3),
                       "speedup_vs_single": round(dt8 / (dt_b / B), 2)}))
+
+    # fused batched serving: B=32 full query paths in one dispatch
+    fqb = make_fused_query_batched(len(dev8), k=64, max_sents=20, int8=True,
+                                   q_chunk=8, temp=5000.0, scaling=0.9,
+                                   max_iters=128, solver="pallas")
+
+    def one_fused_b(acc, qb, *rest):
+        v, d, s = fqb(qb + acc * 0.0, qlens, *rest)
+        return s[0, 0]
+
+    dt_fb = timed_loop(one_fused_b, 10, qb, *flat8, *pos8)
+    print(json.dumps({"metric": "fused_query_path_ms_int8_batch32",
+                      "docs": args.docs, "k": 64, "q_chunk": 8,
+                      "value": round(dt_fb * 1000 / B, 3), "unit": "ms",
+                      "batch_ms": round(dt_fb * 1000, 3),
+                      "vs_target_5ms": round(dt_fb * 1000 / B / 5.0, 3)}))
 
 
 if __name__ == "__main__":
