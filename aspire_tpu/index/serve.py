@@ -201,9 +201,16 @@ def _gather_candidates(buckets, doc_bucket, doc_row, doc_lens, cand_ids,
             local_n = b["sents"].shape[0]
             sel = sel & (cr // local_n == me)
             rows = jnp.where(sel, cr % local_n, 0)
-        reps = b["sents"][rows].astype(jnp.float32)      # [k, s_b, d]
+        # The barrier hands the gather its own view of the bucket arrays.
+        # Without it, sharing the operand with the search einsum makes XLA
+        # co-optimize the two consumers and the whole query slows ~40%
+        # (+0.7 ms at 125k docs on v5e -- measured; the k-row gather alone
+        # is 0.014 ms).  Serving only, no gradients flow here.
+        sents_b = jax.lax.optimization_barrier(b["sents"])
+        reps = sents_b[rows].astype(jnp.float32)         # [k, s_b, d]
         if "scales" in b:
-            reps = reps * b["scales"][rows][:, :, None]
+            scales_b = jax.lax.optimization_barrier(b["scales"])
+            reps = reps * scales_b[rows][:, :, None]
         s_eff = min(reps.shape[1], max_sents)
         reps = reps[:, :s_eff]
         smask = jnp.arange(s_eff, dtype=jnp.int32)[None, :] < cl[:, None]
