@@ -139,7 +139,7 @@ def cmd_build_index(args):
 
     from .data.readers import read_jsonl
     from .evaluation.models import AspireSimilarityModel
-    from .index.dense import build_dense_index
+    from .index.dense import build_dense_index, build_dense_index_prequantized
 
     import jax.numpy as jnp
     mkw = {"compute_dtype": jnp.bfloat16} if args.bf16_compute else {}
@@ -152,19 +152,28 @@ def cmd_build_index(args):
     for rec in read_jsonl(args.corpus):
         pids.append(rec["paper_id"])
         corpus.append({"TITLE": rec["title"], "ABSTRACT": rec["abstract"]})
+    # int8 indexing quantizes ON DEVICE inside the encode program (VPU
+    # scale/round/clip, 1-byte downloads) and the host only packs buckets
+    device_quant = args.int8 and hasattr(model, "encode_quantized")
+    encode = model.encode_quantized if device_quant else model.encode
     reps = []
     import time
     t0 = time.time()
     for i in range(0, len(corpus), args.batch_size):
-        reps.extend(model.encode(corpus[i:i + args.batch_size]))
+        reps.extend(encode(corpus[i:i + args.batch_size]))
         if i and (i // args.batch_size) % 20 == 0:
             done = i + args.batch_size
             logging.info("encoded %d/%d docs (%.1f docs/s)", done,
                          len(corpus), done / (time.time() - t0))
-    import ml_dtypes
-    dtype = ("int8" if args.int8 else
-             ml_dtypes.bfloat16 if args.bf16 else np.float32)
-    idx = build_dense_index(reps, pids, n_shards=args.n_shards, dtype=dtype)
+    if device_quant:
+        idx = build_dense_index_prequantized(reps, pids,
+                                             n_shards=args.n_shards)
+    else:
+        import ml_dtypes
+        dtype = ("int8" if args.int8 else
+                 ml_dtypes.bfloat16 if args.bf16 else np.float32)
+        idx = build_dense_index(reps, pids, n_shards=args.n_shards,
+                                dtype=dtype)
     idx.save(args.out)
     print(f"indexed {idx.n_docs} docs ({len(idx.buckets)} buckets, "
           f"{args.n_shards} shards) -> {args.out}")

@@ -173,6 +173,17 @@ class AspireSimilarityModel(SimilarityModel):
             {"params": p}, t, a, s))
         self._encode_jit = lambda *xs: _encode(self.params, *xs)
 
+        def _encode_quant(p, t, a, s):
+            _, sents = self.encoder.apply({"params": p}, t, a, s)
+            sents = sents.astype(jnp.float32)         # [B, smax, d]
+            sc = jnp.max(jnp.abs(sents), axis=-1) / 127.0
+            sc = jnp.where(sc > 0, sc, 1.0)           # [B, smax]
+            xi = jnp.clip(jnp.round(sents / sc[:, :, None]), -127, 127)
+            return xi.astype(jnp.int8), sc
+
+        _encode_q = jax.jit(_encode_quant)
+        self._encode_quant_jit = lambda *xs: _encode_q(self.params, *xs)
+
         def _pair_scores(q: MultiVec, c: MultiVec):
             if agg == "ot":
                 # per-pair annealing start: parity with the reference's 1x1
@@ -250,6 +261,28 @@ class AspireSimilarityModel(SimilarityModel):
                                     jnp.asarray(fb.sent_ids))
         sents = np.asarray(sents)
         return [sents[i, : fb.abs_lens[i]] for i in range(fb.batch)]
+
+    def encode_quantized(self, batch_papers: list[dict]):
+        """Encode + per-sentence symmetric int8 quantization ON DEVICE.
+
+        The int8-index build path: the VPU does the scale/round/clip work
+        inside the same program as the encoder, and the host downloads 1
+        byte per element (+1 f32 scale per sentence) instead of 4 -- the
+        transfer and the (single-core) host quantization loop both drop
+        out of the indexing pipeline.  Semantics match
+        index.dense.build_dense_index(dtype='int8'): scale = max|x|/127
+        per sentence (1.0 for all-zero rows), round-half-even.
+
+        Returns a list of (xi int8 [len, d], scales f32 [len]) per paper;
+        feed to index.dense.build_dense_index_prequantized.
+        """
+        fb = self._prep(batch_papers)
+        xi, sc = self._encode_quant_jit(jnp.asarray(fb.token_ids),
+                                        jnp.asarray(fb.attn_mask),
+                                        jnp.asarray(fb.sent_ids))
+        xi, sc = np.asarray(xi), np.asarray(sc)
+        return [(xi[i, : fb.abs_lens[i]], sc[i, : fb.abs_lens[i]])
+                for i in range(fb.batch)]
 
     def _pack(self, encs: list[np.ndarray], smax: int) -> MultiVec:
         k = len(encs)

@@ -204,6 +204,17 @@ class DenseBucketIndex:
         return MultiVec(embed=jnp.asarray(out), lens=jnp.asarray(lens))
 
 
+def _assign_buckets(doc_lens: np.ndarray, buckets: tuple) -> dict:
+    """doc index lists per bucket size (smallest bucket that fits)."""
+    by_bucket: dict[int, list[int]] = {s: [] for s in buckets}
+    for di, ln in enumerate(doc_lens):
+        for s in buckets:
+            if ln <= s:
+                by_bucket[s].append(di)
+                break
+    return by_bucket
+
+
 def build_dense_index(doc_reps: list[np.ndarray], pids: list,
                       buckets: tuple[int, ...] = DEFAULT_BUCKETS,
                       n_shards: int = 1, dtype=None) -> DenseBucketIndex:
@@ -224,12 +235,7 @@ def build_dense_index(doc_reps: list[np.ndarray], pids: list,
         int8 = np.dtype(dtype) == np.int8
     dim = doc_reps[0].shape[1]
     doc_lens = np.asarray([min(len(r), buckets[-1]) for r in doc_reps], np.int32)
-    by_bucket: dict[int, list[int]] = {s: [] for s in buckets}
-    for di, ln in enumerate(doc_lens):
-        for s in buckets:
-            if ln <= s:
-                by_bucket[s].append(di)
-                break
+    by_bucket = _assign_buckets(doc_lens, buckets)
     out_buckets = []
     align = 8 * n_shards
     for s in buckets:
@@ -281,6 +287,56 @@ def build_dense_index(doc_reps: list[np.ndarray], pids: list,
         if int8:
             b["scales"] = scales
         out_buckets.append(b)
+    idx = DenseBucketIndex(buckets=out_buckets, doc_lens=doc_lens,
+                           pids=list(pids))
+    idx._ensure_doc_pos()
+    return idx
+
+
+def build_dense_index_prequantized(doc_quant: list, pids: list,
+                                   buckets: tuple[int, ...] = DEFAULT_BUCKETS,
+                                   n_shards: int = 1) -> DenseBucketIndex:
+    """Pack device-quantized int8 docs into a dense-bucket index.
+
+    doc_quant: list of (xi int8 [len, d], scales f32 [len]) pairs, as
+    produced on the VPU by AspireSimilarityModel.encode_quantized.
+    Equivalent to build_dense_index(doc_reps, dtype='int8') applied to the
+    same quantized values, but the host does PACKING ONLY: the quantization
+    math ran on device and the norms come from an int32 squared-sum of the
+    stored ints (|stored|^2 = sc^2 * sum(xi^2); max 768*127^2 < 2^31).
+    This keeps the indexing pipeline off the (single-core) host critical
+    path and downloads 1 byte/element from the encoder instead of 4.
+    """
+    dim = doc_quant[0][0].shape[1]
+    doc_lens = np.asarray([min(len(x), buckets[-1]) for x, _ in doc_quant],
+                          np.int32)
+    by_bucket = _assign_buckets(doc_lens, buckets)
+    out_buckets = []
+    align = 8 * n_shards
+    for s in buckets:
+        idxs = by_bucket[s]
+        if not idxs:
+            continue
+        n = -(-len(idxs) // align) * align
+        sents = np.zeros((n, s, dim), np.int8)
+        norms = np.full((n, s), np.float32(np.inf), np.float32)
+        doc_idx = np.full((n,), -1, np.int32)
+        scales = np.zeros((n, s), np.float32)
+        lens_b = np.minimum(doc_lens[idxs], s).astype(np.int64)
+        flat_xi = np.concatenate(
+            [np.asarray(doc_quant[di][0][:s], np.int8) for di in idxs], axis=0)
+        flat_sc = np.concatenate(
+            [np.asarray(doc_quant[di][1][:s], np.float32) for di in idxs])
+        row_of = np.repeat(np.arange(len(idxs)), lens_b)
+        pos_of = np.arange(lens_b.sum()) - np.repeat(
+            np.cumsum(lens_b) - lens_b, lens_b)
+        sents[row_of, pos_of] = flat_xi
+        scales[row_of, pos_of] = flat_sc
+        sq = np.einsum("ld,ld->l", flat_xi, flat_xi, dtype=np.int32)
+        norms[row_of, pos_of] = sq.astype(np.float32) * flat_sc * flat_sc
+        doc_idx[: len(idxs)] = idxs
+        out_buckets.append({"sents": sents, "norms": norms,
+                            "doc_idx": doc_idx, "scales": scales})
     idx = DenseBucketIndex(buckets=out_buckets, doc_lens=doc_lens,
                            pids=list(pids))
     idx._ensure_doc_pos()

@@ -179,3 +179,70 @@ def test_bf16_save_load_roundtrip(rng, tmp_path):
     scores, docs = search(jnp.asarray(q), jnp.int32(qn),
                           *flatten_device_buckets(dev))
     assert int(docs[0]) == 4
+
+
+def test_prequantized_build_matches_host_quantize(rng):
+    """Device-side quantization path: packing int8+scales produced elsewhere
+    must reproduce build_dense_index(dtype='int8') exactly (same quantized
+    values in, same buckets/norms/scales out)."""
+    from aspire_tpu.index.dense import build_dense_index_prequantized
+
+    reps = [rng.normal(size=(int(rng.integers(1, 10)), 16))
+            .astype(np.float32) for _ in range(40)]
+    pids = [f"p{i}" for i in range(40)]
+    host = build_dense_index(reps, pids, dtype="int8")
+    # quantize the same way encode_quantized does (round-half-even)
+    quant = []
+    for r in reps:
+        sc = np.abs(r).max(axis=1) / 127.0
+        sc = np.where(sc > 0, sc, 1.0).astype(np.float32)
+        xi = np.clip(np.rint(r / sc[:, None]), -127, 127).astype(np.int8)
+        quant.append((xi, sc))
+    pre = build_dense_index_prequantized(quant, pids)
+    assert len(pre.buckets) == len(host.buckets)
+    for bh, bp in zip(host.buckets, pre.buckets):
+        np.testing.assert_array_equal(bh["sents"], bp["sents"])
+        np.testing.assert_array_equal(bh["doc_idx"], bp["doc_idx"])
+        np.testing.assert_allclose(bh["scales"], bp["scales"], rtol=1e-6)
+        np.testing.assert_allclose(bh["norms"], bp["norms"], rtol=1e-5)
+    np.testing.assert_array_equal(host.doc_lens, pre.doc_lens)
+
+
+def test_encode_quantized_matches_encode(rng, tmp_path):
+    """encode_quantized must return the int8 quantization of encode's reps."""
+    import json
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+    from aspire_tpu.evaluation.models import AspireSimilarityModel
+    from aspire_tpu.models.bert import BertConfig
+    tok_dir = tmp_path / "vb"
+    tok_dir.mkdir()
+    (tok_dir / "vocab.txt").write_text("\n".join(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+         "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "a", "b", "c"]))
+    (tok_dir / "tokenizer_config.json").write_text(
+        json.dumps({"tokenizer_class": "BertTokenizer", "do_lower_case": True}))
+    cfg = BertConfig.tiny()
+    import jax
+    from aspire_tpu.models.encoders import ConSentEncoder
+    enc = ConSentEncoder(cfg, max_sents=8)
+    tok = AutoTokenizer.from_pretrained(str(tok_dir))
+    t = jnp.zeros((1, 16), jnp.int32)
+    params = enc.init(jax.random.key(0), t, t, t)["params"]
+    model = AspireSimilarityModel("m", cfg, params, tok, max_sents=8,
+                                  batch_size=2)
+    papers = [{"TITLE": "a b", "ABSTRACT": ["alpha beta gamma", "delta"]},
+              {"TITLE": "c", "ABSTRACT": ["epsilon zeta"]}]
+    encs = model.encode(papers)
+    quants = model.encode_quantized(papers)
+    for e, (xi, sc) in zip(encs, quants):
+        assert xi.dtype == np.int8 and len(xi) == len(e) == len(sc)
+        sc_ref = np.abs(e).max(axis=1) / 127.0
+        sc_ref = np.where(sc_ref > 0, sc_ref, 1.0)
+        np.testing.assert_allclose(sc, sc_ref, rtol=1e-5)
+        xi_ref = np.clip(np.rint(e / sc_ref[:, None]), -127, 127)
+        # device and host rounding agree except exactly at .5 boundaries
+        assert (np.abs(xi.astype(np.int32)
+                       - xi_ref.astype(np.int32)) <= 1).mean() == 1.0
+        agree = (xi.astype(np.int32) == xi_ref.astype(np.int32)).mean()
+        assert agree > 0.99
