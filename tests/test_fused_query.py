@@ -42,7 +42,8 @@ def _staged(idx, flat, q, q_len, k, solver="xla"):
 
 
 def test_fused_matches_staged(rng):
-    for dtype in (np.float32, "int8"):
+    import ml_dtypes
+    for dtype in (np.float32, "int8", ml_dtypes.bfloat16):
         idx = _mk_index(rng, 40, dtype)
         flat = flatten_device_buckets(idx.device_arrays())
         pos = idx.device_pos_arrays()
