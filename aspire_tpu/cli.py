@@ -143,6 +143,9 @@ def cmd_build_index(args):
 
     import jax.numpy as jnp
     mkw = {"compute_dtype": jnp.bfloat16} if args.bf16_compute else {}
+    if args.seq_buckets:
+        mkw["seq_buckets"] = tuple(
+            int(x) for x in args.seq_buckets.split(","))
     model = AspireSimilarityModel.from_trained(
         "index-encoder", args.run_dir,
         AutoTokenizer.from_pretrained(args.tokenizer), **mkw) if args.run_dir \
@@ -152,6 +155,15 @@ def cmd_build_index(args):
     for rec in read_jsonl(args.corpus):
         pids.append(rec["paper_id"])
         corpus.append({"TITLE": rec["title"], "ABSTRACT": rec["abstract"]})
+    if args.seq_buckets:
+        # sort by approximate token count so batches are length-homogeneous
+        # and ride the smallest bucket; index results don't depend on doc
+        # order (pids travel with their reps)
+        order = sorted(range(len(corpus)), key=lambda i: sum(
+            len(s.split()) for s in corpus[i]["ABSTRACT"])
+            + len(corpus[i]["TITLE"].split()))
+        corpus = [corpus[i] for i in order]
+        pids = [pids[i] for i in order]
     # int8 indexing quantizes ON DEVICE inside the encode program (VPU
     # scale/round/clip, 1-byte downloads) and the host only packs buckets
     device_quant = args.int8 and hasattr(model, "encode_quantized")
@@ -391,6 +403,10 @@ def build_parser():
                    help="per-sentence-scale int8 storage (half the scan bytes)")
     b.add_argument("--bf16-compute", action="store_true",
                    help="encode with bf16 activations (reps stay f32)")
+    b.add_argument("--seq-buckets",
+                   help="comma list, e.g. 128,256,384,512: sort the corpus "
+                        "by length and encode each batch at the smallest "
+                        "bucket covering it (identical reps, less MXU waste)")
     b.add_argument("--log_fname")
     b.set_defaults(fn=cmd_build_index)
 

@@ -144,9 +144,17 @@ class AspireSimilarityModel(SimilarityModel):
                  agg: str = "ot", encoding_type: str = "sentence",
                  max_sents: int = 24, batch_size: int = 8,
                  ot_temp: float = 1.0, blur: float = 0.05, scaling: float = 0.9,
-                 compute_dtype=jnp.float32, ot_solver: str = "xla"):
+                 compute_dtype=jnp.float32, ot_solver: str = "xla",
+                 seq_buckets: tuple[int, ...] | None = None):
         super().__init__(name=name, encoding_type=encoding_type, batch_size=batch_size)
         self.bert_config = bert_config
+        # seq_buckets, e.g. (128, 256, 384, 512): each encode batch runs at
+        # the smallest bucket covering its longest sequence instead of a
+        # fixed 512 -- opt-in because every bucket is a separate compiled
+        # program (the persistent compilation cache amortizes them) and
+        # because bulk indexing should sort docs by length first so batches
+        # are homogeneous (build-index --seq-buckets does).
+        self.seq_buckets = tuple(sorted(seq_buckets)) if seq_buckets else None
         # compute_dtype=bf16: encoder activations in bf16 (params stay f32,
         # reps come back f32) -- opt-in for bulk corpus encoding; default f32
         # keeps encode parity with the reference's torch f32 path.
@@ -254,11 +262,27 @@ class AspireSimilarityModel(SimilarityModel):
         return prepare_abstracts(batch_papers, self.tokenizer,
                                  max_sents=self.max_sents, seq_len=seq_len)
 
+    def _bucketed_arrays(self, fb):
+        """Trim a featurized batch to its seq bucket (identity when off).
+
+        Attention masking makes the trailing pad columns inert, so encoding
+        at the bucket length returns the same reps as at 512 up to float
+        reduction order (masked softmax sums over fewer exact-zero terms);
+        only the wasted MXU work drops."""
+        t, a, s = fb.token_ids, fb.attn_mask, fb.sent_ids
+        if self.seq_buckets is not None:
+            m = int(fb.attn_mask.sum(axis=1).max())
+            # smallest bucket covering the batch; a batch LONGER than every
+            # bucket keeps its full length (trimming there would cut real
+            # tokens, not pad)
+            b = next((b for b in self.seq_buckets if m <= b), t.shape[1])
+            if b < t.shape[1]:
+                t, a, s = t[:, :b], a[:, :b], s[:, :b]
+        return jnp.asarray(t), jnp.asarray(a), jnp.asarray(s)
+
     def encode(self, batch_papers: list[dict]):
         fb = self._prep(batch_papers)
-        _, sents = self._encode_jit(jnp.asarray(fb.token_ids),
-                                    jnp.asarray(fb.attn_mask),
-                                    jnp.asarray(fb.sent_ids))
+        _, sents = self._encode_jit(*self._bucketed_arrays(fb))
         sents = np.asarray(sents)
         return [sents[i, : fb.abs_lens[i]] for i in range(fb.batch)]
 
@@ -277,9 +301,7 @@ class AspireSimilarityModel(SimilarityModel):
         feed to index.dense.build_dense_index_prequantized.
         """
         fb = self._prep(batch_papers)
-        xi, sc = self._encode_quant_jit(jnp.asarray(fb.token_ids),
-                                        jnp.asarray(fb.attn_mask),
-                                        jnp.asarray(fb.sent_ids))
+        xi, sc = self._encode_quant_jit(*self._bucketed_arrays(fb))
         xi, sc = np.asarray(xi), np.asarray(sc)
         return [(xi[i, : fb.abs_lens[i]], sc[i, : fb.abs_lens[i]])
                 for i in range(fb.batch)]

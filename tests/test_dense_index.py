@@ -246,3 +246,50 @@ def test_encode_quantized_matches_encode(rng, tmp_path):
                        - xi_ref.astype(np.int32)) <= 1).mean() == 1.0
         agree = (xi.astype(np.int32) == xi_ref.astype(np.int32)).mean()
         assert agree > 0.99
+
+
+def test_seq_bucketed_encode_matches_full(rng, tmp_path):
+    """seq_buckets trims inert pad columns: reps must match the 512-padded
+    encode to float-reduction tolerance."""
+    import json
+    import jax
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+    from aspire_tpu.evaluation.models import AspireSimilarityModel
+    from aspire_tpu.models.bert import BertConfig
+    from aspire_tpu.models.encoders import ConSentEncoder
+    tok_dir = tmp_path / "vb"
+    tok_dir.mkdir()
+    (tok_dir / "vocab.txt").write_text("\n".join(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+         "alpha", "beta", "gamma", "delta", "epsilon", "zeta"]))
+    (tok_dir / "tokenizer_config.json").write_text(
+        json.dumps({"tokenizer_class": "BertTokenizer", "do_lower_case": True}))
+    cfg = BertConfig.tiny()
+    enc = ConSentEncoder(cfg, max_sents=8)
+    tok = AutoTokenizer.from_pretrained(str(tok_dir))
+    t = jnp.zeros((1, 16), jnp.int32)
+    params = enc.init(jax.random.key(0), t, t, t)["params"]
+    papers = [{"TITLE": "alpha", "ABSTRACT": ["beta gamma delta", "epsilon"]},
+              {"TITLE": "zeta", "ABSTRACT": ["alpha beta"]}]
+    full = AspireSimilarityModel("m", cfg, params, tok, max_sents=8,
+                                 batch_size=2)
+    buck = AspireSimilarityModel("m", cfg, params, tok, max_sents=8,
+                                 batch_size=2, seq_buckets=(64, 128, 512))
+    # a batch longer than EVERY bucket must keep its full length (trimming
+    # there would cut real tokens): tiny buckets, long doc
+    over = AspireSimilarityModel("m", cfg, params, tok, max_sents=8,
+                                 batch_size=2, seq_buckets=(4, 8))
+    long_paper = [{"TITLE": "alpha", "ABSTRACT": ["beta gamma " * 20]}]
+    np.testing.assert_allclose(full.encode(long_paper)[0],
+                               over.encode(long_paper)[0], rtol=2e-5, atol=2e-5)
+    e_full = full.encode(papers)
+    e_buck = buck.encode(papers)
+    for a, b in zip(e_full, e_buck):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+    # quantized path rides the same bucketed arrays
+    q_full = full.encode_quantized(papers)
+    q_buck = buck.encode_quantized(papers)
+    for (xa, sa), (xb, sb) in zip(q_full, q_buck):
+        np.testing.assert_allclose(sa, sb, rtol=1e-4)
+        assert (np.abs(xa.astype(np.int32) - xb.astype(np.int32)) <= 1).all()
