@@ -285,9 +285,11 @@ def cmd_rank(args):
         scores, docs = search(jnp.asarray(q_arr), jnp.asarray(q_lens), *flat)
         scores, docs = np.asarray(scores), np.asarray(docs)
         for i, qpid in enumerate(qpids):
-            docs_i = docs[i][docs[i] >= 0]
-            ranked[qpid] = [[idx.pids[d], float(s)]
-                            for d, s in zip(docs_i, scores[i])]
+            real = docs[i] >= 0     # mask ids AND scores together: pairing
+            docs_i = docs[i][real]  # by zip position would silently attach
+            scores_i = scores[i][real]  # wrong scores if a pad ever sorted
+            ranked[qpid] = [[idx.pids[d], float(s)]  # before a real hit
+                            for d, s in zip(docs_i, scores_i)]
     os.makedirs(args.out, exist_ok=True)
     suffix = f"-{args.facet}" if args.facet else ""
     fname = os.path.join(

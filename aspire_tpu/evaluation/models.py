@@ -355,7 +355,8 @@ class AspireSimilarityModel(SimilarityModel):
 class AspireNERSimilarityModel(AspireSimilarityModel):
     """Entities appended as extra sentences (AspireNER, utils/models.py:211-233)."""
 
-    def encode(self, batch_papers: list[dict]):
+    @staticmethod
+    def _with_entity_sents(batch_papers: list[dict]) -> list[dict]:
         assert "ENTITIES" in batch_papers[0], (
             "No NER data for input; place entities at {dataset}-ner.jsonl")
         with_ner = []
@@ -363,7 +364,18 @@ class AspireNERSimilarityModel(AspireSimilarityModel):
             ners = [e for sent in sample["ENTITIES"] for e in sent]
             with_ner.append({"TITLE": sample["TITLE"],
                              "ABSTRACT": list(sample["ABSTRACT"]) + ners})
-        return super().encode(with_ner)
+        return with_ner
+
+    def encode(self, batch_papers: list[dict]):
+        return super().encode(self._with_entity_sents(batch_papers))
+
+    def encode_quantized(self, batch_papers: list[dict]):
+        # the entity rows are ordinary extra sentences for this family, so
+        # the device-quantized path sees them via the same rewrite encode()
+        # uses -- without this override the inherited method would silently
+        # quantize the sentence rows only and int8 indexes would disagree
+        # with the float path
+        return super().encode_quantized(self._with_entity_sents(batch_papers))
 
 
 class AspireContextNERSimilarityModel(AspireSimilarityModel):
@@ -409,6 +421,23 @@ class AspireContextNERSimilarityModel(AspireSimilarityModel):
             if valid:
                 rows.append(ents[i, valid])
             out.append(np.concatenate(rows, axis=0))
+        return out
+
+    def encode_quantized(self, batch_papers: list[dict]):
+        """int8 rows for the combined sentence+span reps.
+
+        The span reps come from a separate program (`_encode_spans_jit`), so
+        this family can't ride the device-quantized sentence encode; quantize
+        the combined rows on host with the exact build_dense_index(dtype=
+        'int8') scheme (scale = max|x|/127 per row, 1.0 for all-zero rows,
+        round-half-even) so int8 and float indexes stay semantically equal.
+        """
+        out = []
+        for reps in self.encode(batch_papers):
+            sc = np.abs(reps).max(axis=1) / 127.0
+            sc = np.where(sc > 0, sc, 1.0).astype(np.float32)
+            xi = np.clip(np.rint(reps / sc[:, None]), -127, 127).astype(np.int8)
+            out.append((xi, sc))
         return out
 
     def get_faceted_encoding(self, unfaceted_encoding, facet: str,

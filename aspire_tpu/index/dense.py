@@ -187,11 +187,16 @@ class DenseBucketIndex:
         self._ensure_doc_pos()
         doc_idx = np.asarray(doc_idx, np.int64)
         k = len(doc_idx)
+        # pad ids (-1, from _topk_padded when the pool < k) must yield zero
+        # rows, NOT numpy's negative-index wraparound to the last real doc
+        valid = doc_idx >= 0
+        safe = np.where(valid, doc_idx, 0)
         out = np.zeros((k, max_sents, self.dim), np.float32)
-        lens = np.minimum(self.doc_lens[doc_idx], max_sents).astype(np.int32)
-        cand_bucket = self._doc_bucket[doc_idx]
-        cand_row = self._doc_row[doc_idx]
-        for bi in np.unique(cand_bucket):
+        lens = np.where(valid, np.minimum(self.doc_lens[safe], max_sents),
+                        0).astype(np.int32)
+        cand_bucket = np.where(valid, self._doc_bucket[safe], -1)
+        cand_row = self._doc_row[safe]
+        for bi in np.unique(cand_bucket[valid]):
             b = self.buckets[bi]
             sel = np.nonzero(cand_bucket == bi)[0]
             s = min(b["sents"].shape[1], max_sents)
@@ -377,6 +382,22 @@ def _bucket_topk(q, q_norms, q_len, bucket, k: int):
     return v, doc_idx[i]
 
 
+def _merge_sharded_topk(v, d, k: int, axis_name: str = "shard"):
+    """Merge per-shard batched top-k blocks inside a shard_map body.
+
+    v, d: [B, k] per shard -> replicated [B, k]: one all_gather of the
+    k-sized blocks over ICI, then a re-top-k of the n_shards*k pool per
+    query.  Shared by the plain, batched, and fused search builders (their
+    'sharded == single-device' parity tests all ride this one merge)."""
+    v_all = jax.lax.all_gather(v, axis_name)           # [n_shards, B, k]
+    d_all = jax.lax.all_gather(d, axis_name)
+    bsz = v.shape[0]
+    v_all = jnp.moveaxis(v_all, 0, 1).reshape(bsz, -1)
+    d_all = jnp.moveaxis(d_all, 0, 1).reshape(bsz, -1)
+    vk, pos = jax.lax.top_k(v_all, k)
+    return vk, jnp.take_along_axis(d_all, pos, axis=1)
+
+
 def _topk_padded(v, d, k: int):
     """top_k over the last axis, padding the candidate pool with NEG/-1 when
     it holds fewer than k entries (tiny shards/buckets)."""
@@ -438,11 +459,8 @@ def make_dense_search(n_buckets: int, k: int, mesh: Mesh | None = None,
 
     def _sharded(q, q_len, *flat):
         v, d = _score_local(q, q_len, *flat)
-        # merge across shards: gather k candidates from each shard over ICI
-        v_all = jax.lax.all_gather(v, "shard")   # [n_shards, k]
-        d_all = jax.lax.all_gather(d, "shard")
-        vk, ik = jax.lax.top_k(v_all.reshape(-1), k)
-        return _finish(vk, d_all.reshape(-1)[ik])
+        vk, dk = _merge_sharded_topk(v[None], d[None], k)
+        return _finish(vk[0], dk[0])
 
     per = 4 if int8 else 3
     in_specs = [P(), P()] + [P("shard")] * (per * n_buckets)
@@ -547,13 +565,7 @@ def make_dense_search_batched(n_buckets: int, k: int, int8: bool = False,
 
     def _sharded(q, q_lens, *flat):
         v, d = _score_local(q, q_lens, *flat)          # [B, k] per shard
-        v_all = jax.lax.all_gather(v, "shard")         # [n_shards, B, k]
-        d_all = jax.lax.all_gather(d, "shard")
-        bsz = v.shape[0]
-        v_all = jnp.moveaxis(v_all, 0, 1).reshape(bsz, -1)
-        d_all = jnp.moveaxis(d_all, 0, 1).reshape(bsz, -1)
-        vk, ik = jax.lax.top_k(v_all, k)
-        return _finish(vk, jnp.take_along_axis(d_all, ik, axis=1))
+        return _finish(*_merge_sharded_topk(v, d, k))
 
     per = 4 if int8 else 3
     in_specs = [P(), P()] + [P("shard")] * (per * n_buckets)

@@ -116,6 +116,8 @@ def gather_doc_reps(index, doc_idx: np.ndarray, max_sents: int) -> MultiVec:
     out = np.zeros((k, max_sents, index.dim), np.float32)
     lens = np.zeros((k,), np.int32)
     for i, di in enumerate(doc_idx):
+        if di < 0:      # pad slot (pool < k): zero rows, not index -1
+            continue
         ln = min(int(index.doc_lens[di]), max_sents)
         rows = order[starts[i]: starts[i] + ln]
         out[i, :ln] = flat_sents[rows]
@@ -271,56 +273,22 @@ def make_fused_query(n_buckets: int, k: int, max_sents: int,
     i32[k], ot_sims f32[k] (NEG at pad slots)).  Extra args come from
     DenseBucketIndex.device_arrays(mesh) + .device_pos_arrays(mesh).
 
-    mesh: bucket arrays sharded over `shard`; each shard gathers and
-    reranks only candidates whose rows it owns, then one psum of k floats
-    merges the scores over ICI.
+    This IS the batched path at B=1 (same traced program modulo the
+    leading axis), so the fused single == batched parity the tests assert
+    holds by construction.  mesh: bucket arrays sharded over `shard`; each
+    shard gathers and reranks only candidates whose rows it owns, then one
+    psum of k floats merges the scores over ICI.
     """
-    from .dense import _unflatten_buckets, score_buckets
+    batched = make_fused_query_batched(
+        n_buckets, k, max_sents, int8=int8, mesh=mesh, blur=blur,
+        scaling=scaling, temp=temp, max_iters=max_iters, solver=solver)
 
-    per = 4 if int8 else 3
+    @jax.jit
+    def single(q, q_len, *rest):
+        v, d, s = batched(q[None], jnp.asarray(q_len, jnp.int32)[None], *rest)
+        return v[0], d[0], s[0]
 
-    def _rerank_sims(q, q_len, cand_embed, cand_lens, diam=None):
-        kk = cand_embed.shape[0]
-        qt = MultiVec(
-            embed=jnp.broadcast_to(q[None], (kk,) + q.shape).astype(
-                jnp.float32),
-            lens=jnp.broadcast_to(jnp.asarray(q_len, jnp.int32)[None], (kk,)))
-        sims, _ = wasserstein_dist(
-            qt, MultiVec(embed=cand_embed, lens=cand_lens), blur=blur,
-            scaling=scaling, temp=temp, return_pair_sims=True,
-            max_iters=max_iters, solver=solver, diameter_value=diam)
-        return sims
-
-    def _local(q, q_len, *rest):
-        flat, (db, dr, dl) = rest[:-3], rest[-3:]
-        buckets = _unflatten_buckets(flat, n_buckets, int8)
-        v, d = score_buckets(buckets, q.astype(jnp.float32), q_len, k)
-        if mesh is not None:
-            v_all = jax.lax.all_gather(v, "shard").reshape(-1)
-            d_all = jax.lax.all_gather(d, "shard").reshape(-1)
-            v, pos = jax.lax.top_k(v_all, k)
-            d = d_all[pos]
-        emb, cl, owned, valid = _gather_candidates(
-            buckets, db, dr, dl, d, max_sents,
-            axis_name=None if mesh is None else "shard")
-        diam = None
-        if mesh is not None:
-            diam = _mesh_pool_diameter(
-                q.astype(jnp.float32)[None], emb[None], owned[None],
-                valid[None], "shard")[0]
-        sims = _rerank_sims(q, q_len, emb, cl, diam)
-        if mesh is not None:
-            sims = jax.lax.psum(jnp.where(owned, sims, 0.0), "shard")
-        sims = jnp.where(valid, sims, NEG)
-        return -jnp.sqrt(jnp.maximum(-v, 0.0)), d, sims
-
-    if mesh is None:
-        return jax.jit(_local)
-    in_specs = tuple([P(), P()] + [P("shard")] * (per * n_buckets)
-                     + [P(), P(), P()])
-    fn = shard_map(_local, mesh=mesh, in_specs=in_specs,
-                   out_specs=(P(), P(), P()), check_vma=False)
-    return jax.jit(fn)
+    return single
 
 
 def make_fused_query_batched(n_buckets: int, k: int, max_sents: int,
@@ -331,62 +299,56 @@ def make_fused_query_batched(n_buckets: int, k: int, max_sents: int,
     """Batched fused serving: B queries -> search + gather + rerank, one
     dispatch.  fn(q [B, qmax, d], q_lens i32[B], *bucket_arrays,
     doc_bucket, doc_row, doc_lens) -> (stage1 scores [B, k], doc_idx
-    [B, k], ot_sims [B, k]).  See make_fused_query; candidate gather and
-    rerank flatten the [B, k] pool to B*k pairs for the batched Sinkhorn
-    solver.  Under a mesh only the [B, k] score block psums over ICI."""
-    from .dense import _unflatten_buckets, score_buckets_batched
+    [B, k], ot_sims [B, k]).  See make_fused_query.  Under a mesh only the
+    [B, k] score block psums over ICI.
+
+    Memory: candidate gather + rerank run INSIDE a lax.map over queries, so
+    only one query's [k, max_sents, dim] candidate block is live at a time
+    -- a one-shot gather of the whole pool would be B*k*max_sents*dim f32
+    (7+ GB at a 1000-query eval pool with k=100).  The rerank was already
+    per-query (the annealing diameter must cover exactly one query's
+    candidate pool to match the reference's per-query geomloss call -- a
+    flat B*k solve would couple queries through the shared diameter); the
+    gather just joins it in the map body.  Search -- the corpus-sized
+    stage -- stays batched, with q_chunk bounding its [c, n, s, q]
+    intermediate."""
+    from .dense import (_unflatten_buckets, score_buckets_batched,
+                        _merge_sharded_topk)
 
     per = 4 if int8 else 3
+    axis = None if mesh is None else "shard"
 
     def _local(q, q_lens, *rest):
         flat, (db, dr, dl) = rest[:-3], rest[-3:]
         buckets = _unflatten_buckets(flat, n_buckets, int8)
-        bsz = q.shape[0]
         v, d = score_buckets_batched(buckets, q, q_lens, k, q_chunk)
         if mesh is not None:
-            v_all = jax.lax.all_gather(v, "shard")       # [n_shards, B, k]
-            d_all = jax.lax.all_gather(d, "shard")
-            v_all = jnp.moveaxis(v_all, 0, 1).reshape(bsz, -1)
-            d_all = jnp.moveaxis(d_all, 0, 1).reshape(bsz, -1)
-            v, pos = jax.lax.top_k(v_all, k)
-            d = jnp.take_along_axis(d_all, pos, axis=1)
-        emb, cl, owned, valid = _gather_candidates(
-            buckets, db, dr, dl, d.reshape(-1), max_sents,
-            axis_name=None if mesh is None else "shard")
+            v, d = _merge_sharded_topk(v, d, k)
 
-        # rerank per query group (lax.map over B): the annealing schedule's
-        # diameter must cover exactly one query's candidate pool to match
-        # the reference's per-query geomloss call (and the single-query
-        # fused path bit-for-bit); a flat B*k solve would couple queries
-        # through the shared diameter.  Search -- the expensive stage --
-        # stays batched; each map step is one k-pair batched solve.
-        embB = emb.reshape(bsz, k, max_sents, -1)
-        if mesh is None:
-            diamB = jnp.zeros((bsz,), jnp.float32)   # unused
-        else:
-            diamB = _mesh_pool_diameter(
-                q.astype(jnp.float32), embB, owned.reshape(bsz, k),
-                valid.reshape(bsz, k), "shard")
-
-        def _rr(xs):
-            qi, ql, emb_i, cl_i, di = xs
+        def _one(xs):
+            qi, ql, d_i = xs
+            emb, cl, owned, valid = _gather_candidates(
+                buckets, db, dr, dl, d_i, max_sents, axis_name=axis)
+            diam = None
+            if mesh is not None:
+                diam = _mesh_pool_diameter(
+                    qi[None], emb[None], owned[None], valid[None], axis)[0]
             qt = MultiVec(
                 embed=jnp.broadcast_to(qi[None], (k,) + qi.shape),
                 lens=jnp.broadcast_to(ql[None], (k,)))
             s, _ = wasserstein_dist(
-                qt, MultiVec(embed=emb_i, lens=cl_i), blur=blur,
+                qt, MultiVec(embed=emb, lens=cl), blur=blur,
                 scaling=scaling, temp=temp, return_pair_sims=True,
-                max_iters=max_iters, solver=solver,
-                diameter_value=None if mesh is None else di)
-            return s
+                max_iters=max_iters, solver=solver, diameter_value=diam)
+            # zero the rows this shard doesn't own so the psum below
+            # assembles each candidate's score exactly once
+            return jnp.where(owned, s, 0.0) if mesh is not None else s
 
-        sims = jax.lax.map(_rr, (q.astype(jnp.float32),
-                                 q_lens.astype(jnp.int32),
-                                 embB, cl.reshape(bsz, k),
-                                 diamB)).reshape(-1)
+        sims = jax.lax.map(_one, (q.astype(jnp.float32),
+                                  q_lens.astype(jnp.int32), d))
         if mesh is not None:
-            sims = jax.lax.psum(jnp.where(owned, sims, 0.0), "shard")
-        sims = jnp.where(valid, sims, NEG).reshape(bsz, k)
+            sims = jax.lax.psum(sims, "shard")
+        sims = jnp.where(d >= 0, sims, NEG)
         return -jnp.sqrt(jnp.maximum(-v, 0.0)), d, sims
 
     if mesh is None:

@@ -212,6 +212,11 @@ class Trainer:
         matching the reference's run-wide `model_cur_best`
         (trainer.py:222-246)."""
         tp = self.tp
+        if epochs > 1 and iter(batches) is batches:
+            raise ValueError(
+                "epochs > 1 needs a re-iterable `batches` (e.g. "
+                "data.readers.TripleStream): a plain iterator is exhausted "
+                "after epoch 1 and the rest would silently train on nothing")
         rng = jax.random.key(seed)
         t_start = time.time()
         n_steps = 0

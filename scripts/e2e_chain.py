@@ -39,6 +39,7 @@ import random
 import subprocess
 import sys
 import time
+import zlib
 
 import numpy as np
 
@@ -127,7 +128,10 @@ def hashing_aligner(dim: int = 64):
         out = np.zeros((len(sents), dim), np.float32)
         for i, s in enumerate(sents):
             for w in s.lower().split():
-                out[i, hash(w) % dim] += 1.0
+                # crc32, not hash(): str hash is randomized per process
+                # (PYTHONHASHSEED), which would make the mined alignment
+                # labels differ run to run
+                out[i, zlib.crc32(w.encode()) % dim] += 1.0
         n = np.linalg.norm(out, axis=1, keepdims=True)
         return out / np.maximum(n, 1e-6)
     return embed

@@ -124,6 +124,19 @@ def test_faceted_encoding_drops_invalid_entities(tok):
     np.testing.assert_array_equal(got_bg, enc[[0, 2]])
 
 
+def test_context_ner_encode_quantized_covers_span_rows(tok):
+    """encode_quantized must quantize the COMBINED sentence+span rows with
+    the build_dense_index(dtype='int8') scheme (the span rows come from a
+    separate program, so this family quantizes on host)."""
+    cfg = BertConfig.tiny()
+    m = _make_model(tok, cfg)
+    enc, = m.encode([PAPER])
+    (xi, sc), = m.encode_quantized([PAPER])
+    assert xi.shape == enc.shape and xi.dtype == np.int8
+    np.testing.assert_allclose(xi.astype(np.float32) * sc[:, None], enc,
+                               atol=np.abs(enc).max() / 100)
+
+
 def test_get_similarities_ladder_matches_per_pair(tok):
     """The 64/256/1024 chunk ladder must not change scores."""
     cfg = BertConfig.tiny()

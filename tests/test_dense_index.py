@@ -69,6 +69,21 @@ def test_dense_save_load_and_gather(rng, tmp_path):
                                rtol=1e-6)
 
 
+def test_gather_doc_reps_pad_ids_are_zero(rng):
+    """Pad doc ids (-1, emitted by _topk_padded when the pool < k) must give
+    zero rows and len 0 -- numpy's negative indexing would otherwise fetch
+    the LAST doc's reps and a phantom candidate could outrank real ones."""
+    reps, pids = make_corpus(rng, n_docs=10)
+    idx = build_dense_index(reps, pids, dtype=np.float32)
+    mv = idx.gather_doc_reps([2, -1, 5, -1], max_sents=12)
+    lens = np.asarray(mv.lens)
+    emb = np.asarray(mv.embed)
+    assert lens[1] == 0 and lens[3] == 0
+    assert (emb[1] == 0).all() and (emb[3] == 0).all()
+    assert lens[0] == len(reps[2]) and lens[2] == len(reps[5])
+    np.testing.assert_allclose(emb[0, : lens[0]], reps[2], rtol=1e-6)
+
+
 def test_truncation_to_largest_bucket(rng):
     reps = [rng.normal(size=(40, 8)).astype(np.float32)]  # > max bucket 24
     idx = build_dense_index(reps, ["p0"], dtype=np.float32)

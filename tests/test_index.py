@@ -91,6 +91,10 @@ def test_gather_and_rerank(rng):
         ln = len(reps[di])
         assert int(cands.lens[i]) == ln
         np.testing.assert_allclose(np.asarray(cands.embed)[i, :ln], reps[di], rtol=1e-6)
+    # pad ids (-1) must yield zero rows, not the last doc via wraparound
+    padded = gather_doc_reps(idx, np.array([3, -1]), max_sents=8)
+    assert int(padded.lens[1]) == 0
+    assert (np.asarray(padded.embed)[1] == 0).all()
 
     q = MultiVec(embed=jnp.asarray(rng.normal(size=(1, 5, 16)).astype(np.float32)),
                  lens=jnp.asarray([5], np.int32))

@@ -75,6 +75,23 @@ def test_ner_model_appends_entities(tiny_model):
     assert encs_plain[0].shape[0] == 2
 
 
+def test_ner_model_encode_quantized_includes_entities(tiny_model):
+    """The int8 index path must see the entity pseudo-sentences too -- the
+    inherited encode_quantized would quantize the 2 sentence rows only and
+    int8/float indexes would disagree for NER models."""
+    cfg, params, tok = tiny_model
+    m = AspireNERSimilarityModel(name="m", bert_config=cfg, params=params,
+                                 tokenizer=tok, agg="l2max", max_sents=6,
+                                 encoding_type="sentence-entity")
+    paper = {"TITLE": "title", "ABSTRACT": ["alpha beta", "gamma delta"],
+             "ENTITIES": [["alpha"], ["delta", "gamma"]]}
+    (xi, sc), = m.encode_quantized([paper])
+    enc, = m.encode([paper])
+    assert xi.shape[0] == enc.shape[0] == 5      # 2 sents + 3 entities
+    np.testing.assert_allclose(xi.astype(np.float32) * sc[:, None], enc,
+                               atol=np.abs(enc).max() / 100)
+
+
 def test_unbalanced_sinkhorn_reach(rng):
     """reach (unbalanced OT) produces finite potentials/cost differing from
     the balanced solve (pair_distances geoml_reach plumbing)."""

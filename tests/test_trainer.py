@@ -202,3 +202,24 @@ def test_multi_epoch_global_best(tmp_path, tok, rng, monkeypatch):
         lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
         cb, final)
     assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+def test_multi_epoch_rejects_plain_iterator(tmp_path, tok, rng):
+    """epochs > 1 with an already-consumable iterator would silently train
+    epoch 1 only (iter(it) is it); the trainer must refuse loudly."""
+    write_triples(tmp_path / "t.jsonl", 16, rng)
+    cfg = RunConfig.from_dict({
+        "model_name": "miswordbienc", "score_aggregation": "l2max",
+        "train_size": 16, "batch_size": 8, "accumulated_batch_size": 16,
+        "num_epochs": 2, "learning_rate": 1e-4, "num_warmup_steps": 2,
+        "lr_decay_method": "warmuplin", "es_check_every": 100,
+        "max_sents": 4, "update_rule": "adam", "decay_lr_every": 1})
+    mesh = make_mesh()
+    model = build_model(cfg.model, BertConfig.tiny())
+    trainer = Trainer(model, cfg, str(tmp_path / "run"), mesh=mesh,
+                      early_stop=False)
+    state = trainer.init_state(jax.random.key(0))
+    stream = TripleStream(str(tmp_path / "t.jsonl"), tok, cfg.model,
+                          micro_batch=8, n_micro=2, seq_len=32)
+    with pytest.raises(ValueError, match="re-iterable"):
+        trainer.train(state, iter(stream), epochs=2)
