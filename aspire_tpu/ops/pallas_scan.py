@@ -1,10 +1,16 @@
-"""Pallas TPU kernel: fused l2max corpus scan.
+"""Pallas TPU kernel: fused l2max corpus scan (measured SLOWER -- not wired).
 
 First-stage retrieval = read the whole sentence matrix once and emit one
-score per document.  XLA's einsum+max plateaus ~570 GB/s on v5e because the
-[n, s, q] similarity tensor round-trips through HBM; this kernel streams
-dense bucket blocks HBM->VMEM, runs the [BD*S, D] x [D, Q] dot on the MXU,
-and reduces to per-doc scores entirely in VMEM -- only [BD] scores leave.
+score per document.  This kernel streams dense bucket blocks HBM->VMEM,
+runs the [BD*S, D] x [D, Q] dot on the MXU, and reduces to per-doc scores
+entirely in VMEM -- only [BD] scores leave.
+
+MEASURED OUTCOME (docs/design.md "first-stage scan bandwidth"): the XLA
+dense-bucket einsum+max path reaches 721 GB/s on v5e -- XLA fuses the max
+into the matmul epilogue, so the [n, s, q] tensor never round-trips HBM --
+while this kernel plateaus at 520 GB/s (block-boundary stalls).  The
+production path is index/dense.py; this kernel is kept as the documented
+negative result, NOT as an optimization to wire in.
 
 score(doc) = max over (sent, query-sent) of (2 q.x - |x|^2 - |q|^2);
 the |q|^2 constant and the sqrt are applied by the caller (ordering-safe).

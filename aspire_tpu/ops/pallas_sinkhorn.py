@@ -24,11 +24,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .cdist import pairwise_l2
-from .sinkhorn import log_weights, max_diameter, pairwise_diameter, _schedule_len
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from .sinkhorn import (log_weights, max_diameter, pairwise_diameter,
+                       _schedule_len, _LOG_WEIGHT_FLOOR)
+from .pallas_util import round_up as _round_up
 
 
 def _sinkhorn_kernel(scalars_ref, diam_ref, cost_ref, loga_ref, logb_ref,
@@ -64,8 +62,14 @@ def _sinkhorn_kernel(scalars_ref, diam_ref, cost_ref, loga_ref, logb_ref,
         return -eps * (jnp.log(jnp.sum(jnp.exp(t - m[None, :, :]), axis=0)) + m)
 
     def eps_at(i):
+        # eps_list[i] = [d, d, d*s, ..., blur]: last entry pinned at blur,
+        # earlier entries unfloored (matches sinkhorn._eps_at -- for d < blur
+        # geomloss runs [d, blur], not [blur, blur]); the 1e-12 floor only
+        # guards division for coincident clouds
         k = jnp.maximum(i - 1, 0).astype(jnp.float32)
-        return jnp.maximum(diam * jnp.exp(k * log_scaling), blur)   # [1, TB]
+        d = jnp.maximum(diam, 1e-12)
+        return jnp.where(i.astype(jnp.float32) >= lane_iters - 1.0,
+                         jnp.float32(blur), d * jnp.exp(k * log_scaling))
 
     eps0 = eps_at(jnp.int32(0))
     f = softmin_over_m(eps0, log_b)
@@ -113,6 +117,8 @@ def sinkhorn_potentials_pallas(
     (per-element -- the eval path); both ride the same per-lane kernel.
     Returns (f [bsz, n], g [bsz, m]) float32.
     """
+    if not 0.0 < scaling < 1.0:
+        raise ValueError(f"scaling must be in (0, 1), got {scaling}")
     bsz, n = a.shape
     m = b.shape[1]
     if not use_cost:
@@ -121,7 +127,7 @@ def sinkhorn_potentials_pallas(
         diam = jnp.broadcast_to(jnp.asarray(diameter_value, jnp.float32),
                                 (bsz,))
     elif diameter == "pair":
-        diam = pairwise_diameter(x, y)                         # [bsz]
+        diam = pairwise_diameter(x, y, a, b)                   # [bsz]
     else:
         diam = jnp.broadcast_to(max_diameter(x, y), (bsz,))    # [bsz]
     n_cap = jnp.max(_schedule_len(diam, blur, scaling)).astype(jnp.float32)
@@ -132,9 +138,9 @@ def sinkhorn_potentials_pallas(
     # batch-on-lanes layout: [N, M, B], [N, B], [M, B]
     cost_p = jnp.full((n_p, m_p, b_p), 1e6, jnp.float32)
     cost_p = cost_p.at[:n, :m, :bsz].set(jnp.transpose(cost, (1, 2, 0)))
-    la = jnp.full((n_p, b_p), -100000.0, jnp.float32)
+    la = jnp.full((n_p, b_p), _LOG_WEIGHT_FLOOR, jnp.float32)
     la = la.at[:n, :bsz].set(log_weights(a).T)
-    lb = jnp.full((m_p, b_p), -100000.0, jnp.float32)
+    lb = jnp.full((m_p, b_p), _LOG_WEIGHT_FLOOR, jnp.float32)
     lb = lb.at[:m, :bsz].set(log_weights(b).T)
     # pad lanes anneal for a single step (diam=blur) and freeze
     diam_p = jnp.full((1, b_p), blur, jnp.float32)

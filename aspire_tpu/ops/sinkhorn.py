@@ -57,23 +57,37 @@ def max_diameter(x: jax.Array, y: jax.Array) -> jax.Array:
     return jnp.linalg.norm(maxs - mins)
 
 
-def pairwise_diameter(x: jax.Array, y: jax.Array) -> jax.Array:
+_BIG = 3.0e38
+
+
+def pairwise_diameter(x: jax.Array, y: jax.Array,
+                      x_weights: jax.Array | None = None,
+                      y_weights: jax.Array | None = None) -> jax.Array:
     """Per-batch-element diameter f32[bsz]: each pair gets its own box.
 
     This is what geomloss sees when the reference scores pairs ONE AT A TIME
     (evaluate.py:35-82 feeds 1x1 pairs), so the eval stack uses it to make
-    batched scoring independent of batch composition."""
-    mins = jnp.minimum(jnp.min(x, axis=1), jnp.min(y, axis=1))   # [bsz, d]
-    maxs = jnp.maximum(jnp.max(x, axis=1), jnp.max(y, axis=1))
+    batched scoring independent of batch composition.  The reference's 1x1
+    tensors carry NO pad rows, so when weights are given (zero mass = pad),
+    zero-weight rows are excluded from the box -- a zero pad row would drag
+    the box to the origin and inflate the diameter by ~the mean-vector norm
+    for anisotropic encoder reps, lengthening the eps schedule vs the
+    reference.  Each element must keep >= 1 real row per side."""
+    if x_weights is None:
+        mins_x, maxs_x = jnp.min(x, axis=1), jnp.max(x, axis=1)   # [bsz, d]
+    else:
+        mx = (x_weights > 0)[:, :, None]
+        mins_x = jnp.min(jnp.where(mx, x, _BIG), axis=1)
+        maxs_x = jnp.max(jnp.where(mx, x, -_BIG), axis=1)
+    if y_weights is None:
+        mins_y, maxs_y = jnp.min(y, axis=1), jnp.max(y, axis=1)
+    else:
+        my = (y_weights > 0)[:, :, None]
+        mins_y = jnp.min(jnp.where(my, y, _BIG), axis=1)
+        maxs_y = jnp.max(jnp.where(my, y, -_BIG), axis=1)
+    mins = jnp.minimum(mins_x, mins_y)
+    maxs = jnp.maximum(maxs_x, maxs_y)
     return jnp.linalg.norm(maxs - mins, axis=-1)
-
-
-def _softmin(eps: jax.Array, cost: jax.Array, h: jax.Array) -> jax.Array:
-    """softmin_eps(C, h)_i = -eps * logsumexp_j(h_j - C_ij / eps).
-
-    cost: f32[b, n, m]; h: f32[b, m] -> f32[b, n].
-    """
-    return -eps * jax.scipy.special.logsumexp(h[:, None, :] - cost / eps, axis=2)
 
 
 def _schedule_len(diameter: jax.Array, blur: float, scaling: float) -> jax.Array:
@@ -81,16 +95,27 @@ def _schedule_len(diameter: jax.Array, blur: float, scaling: float) -> jax.Array
 
     eps_list = [d] + [d * s^k for k in 0..K-1] + [blur] with
     K = ceil(log(blur/d) / log(s)) (the np.arange count), so len = K + 2.
+    For d < blur the arange is empty (K = 0): eps_list = [d, blur].
     """
     ratio = jnp.log(blur / jnp.maximum(diameter, 1e-30)) / jnp.log(scaling)
     k = jnp.ceil(jnp.maximum(ratio, 0.0)).astype(jnp.int32)
     return k + 2
 
 
-def _eps_at(i: jax.Array, diameter: jax.Array, blur: float, scaling: float) -> jax.Array:
-    """eps_list[i]: [d, d, d*s, d*s^2, ..., blur] with a floor at blur."""
+def _eps_at(i: jax.Array, diameter: jax.Array, blur: float, scaling: float,
+            n_iters: jax.Array) -> jax.Array:
+    """eps_list[i]: [d, d, d*s, d*s^2, ..., blur].
+
+    The LAST schedule entry is pinned at blur; earlier entries are NOT
+    floored there, so a degenerate cloud with d < blur runs geomloss's
+    [d, blur] schedule rather than [blur, blur] (the empty-arange case
+    above).  Entries past n_iters are dead (`live` masking in the loop).
+    The 1e-12 floor only guards eps=0 division for coincident clouds --
+    logsumexp is max-shifted, so huge cost/eps ratios stay finite."""
     k = jnp.maximum(i - 1, 0).astype(jnp.float32)
-    return jnp.maximum(diameter * jnp.power(scaling, k), blur)
+    d = jnp.maximum(diameter, 1e-12)
+    return jnp.where(i >= n_iters - 1, jnp.float32(blur),
+                     d * jnp.power(scaling, k))
 
 
 @partial(jax.jit, static_argnames=("blur", "scaling", "reach", "max_iters",
@@ -133,6 +158,10 @@ def sinkhorn_potentials(
     OT cost is sum(a * f + b * g) -- exactly geomloss's potentials=True output
     for debias=False.
     """
+    if not 0.0 < scaling < 1.0:
+        # log(scaling) == 0 would give a NaN schedule length and a silent
+        # zero-iteration solve; >1 a diverging schedule
+        raise ValueError(f"scaling must be in (0, 1), got {scaling}")
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
     if use_cost:
@@ -146,7 +175,7 @@ def sinkhorn_potentials(
         diam = jnp.broadcast_to(jnp.asarray(diameter_value, jnp.float32),
                                 (bsz,))
     elif diameter == "pair":
-        diam = pairwise_diameter(x, y)                      # [bsz]
+        diam = pairwise_diameter(x, y, a, b)                # [bsz]
     else:
         diam = jnp.broadcast_to(max_diameter(x, y), (bsz,))  # [bsz]
     diam = jax.lax.stop_gradient(diam)
@@ -173,13 +202,13 @@ def sinkhorn_potentials(
         return -eps[:, None] * jax.scipy.special.logsumexp(
             h[:, None, :] - cost_ / eps[:, None, None], axis=2)
 
-    eps0 = _eps_at(jnp.int32(0), diam, blur, scaling)
+    eps0 = _eps_at(jnp.int32(0), diam, blur, scaling, n_iters)
     f = damping(eps0) * softmin_b(eps0, c_xy_ng, log_b_ng)
     g = damping(eps0) * softmin_b(eps0, c_yx_ng, log_a_ng)
 
     def body(i, fg):
         f, g = fg
-        eps = _eps_at(i, diam, blur, scaling)
+        eps = _eps_at(i, diam, blur, scaling, n_iters)
         ft = damping(eps) * softmin_b(eps, c_xy_ng, log_b_ng + g / eps[:, None])
         gt = damping(eps) * softmin_b(eps, c_yx_ng, log_a_ng + f / eps[:, None])
         f_new = 0.5 * (f + ft)

@@ -77,3 +77,48 @@ def test_wasserstein_solver_pallas_matches_xla(rng):
                                rtol=2e-3, atol=2e-3)
     with pytest.raises(ValueError, match="balanced"):
         wasserstein_dist(q, c, temp=5000.0, reach=1.0, solver="pallas")
+
+
+def test_pallas_pooling_long_sequence_tiles(rng):
+    """t=512 exceeds the single-block VMEM budget: the t-tiled accumulation
+    path must still match the einsum exactly."""
+    from aspire_tpu.models.encoders import sentence_pool
+    from aspire_tpu.ops.pallas_pool import sentence_pool_pallas, _VMEM_BLOCK_BYTES
+    b, t, h, smax = 2, 512, 768, 8
+    assert 8 * t * h * 4 > _VMEM_BLOCK_BYTES      # the config that tiles
+    hidden = jnp.asarray(rng.normal(size=(b, t, h)).astype(np.float32))
+    sent_ids = np.full((b, t), -1, np.int32)
+    for i in range(b):
+        pos = 2
+        for s in range(smax):
+            n = int(rng.integers(20, 80))
+            sent_ids[i, pos:pos + n] = s
+            pos += n
+    want = np.asarray(sentence_pool(hidden, jnp.asarray(sent_ids), smax))
+    got = np.asarray(sentence_pool_pallas(hidden, jnp.asarray(sent_ids), smax,
+                                          interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_l2max_scan_matches_brute(rng):
+    """The (unwired, documented-negative-result) fused scan kernel must still
+    be correct: per-doc max(2 q.x - |x|^2) vs a numpy brute force."""
+    from aspire_tpu.ops.pallas_scan import fused_l2max_scan
+    n, s, d, q_n, qpad = 256, 4, 128, 5, 8
+    sents = rng.normal(size=(n, s, d)).astype(np.float32)
+    # pad some sentence slots: zero rows with +inf norms (excluded via -inf)
+    pad = rng.random((n, s)) < 0.3
+    sents[pad] = 0.0
+    norms = np.einsum("nsd,nsd->ns", sents, sents).astype(np.float32)
+    norms[pad] = np.inf
+    q = np.zeros((qpad, d), np.float32)
+    q[:q_n] = rng.normal(size=(q_n, d)).astype(np.float32)
+    got = np.asarray(fused_l2max_scan(jnp.asarray(sents), jnp.asarray(q),
+                                      jnp.asarray(norms), q_n=q_n,
+                                      block_docs=128, interpret=True))
+    sims = np.einsum("nsd,qd->nsq", sents, q[:q_n])
+    scores = 2.0 * sims - norms[:, :, None]
+    # a doc whose slots are ALL pads scores the kernel's NEG clamp (-1e30),
+    # the same sentinel dense-index dummy docs carry
+    want = np.maximum(scores.reshape(n, -1).max(axis=1), -1e30)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -141,3 +141,75 @@ def test_sinkhorn_jit_and_vmap_consistency(rng):
         np.stack([a, a]), np.stack([x, x]), np.stack([b, b]), np.stack([y, y]))
     np.testing.assert_allclose(np.asarray(f2)[0], np.asarray(f2)[1], atol=1e-6)
     np.testing.assert_allclose(np.asarray(f1)[0], np.asarray(f2)[0], atol=1e-5)
+
+
+def test_pair_diameter_excludes_pads(rng):
+    """'pair' mode reproduces the reference's UNPADDED 1x1 geomloss call:
+    appending zero-mass zero-point pad rows must not change the potentials.
+    The cloud sits away from the origin so an unmasked box would inflate by
+    ~the mean norm and lengthen the eps schedule."""
+    a, x, b, y = rand_cloud(rng, n=5, m=6, d=8)
+    x = x + 3.0
+    y = y + 3.0
+    f0, g0 = sinkhorn_potentials(a[None], x[None], b[None], y[None],
+                                 diameter="pair")
+    xp = np.concatenate([x, np.zeros((3, 8), np.float32)])
+    ap = np.concatenate([a, np.zeros(3, np.float32)])
+    yp = np.concatenate([y, np.zeros((2, 8), np.float32)])
+    bp = np.concatenate([b, np.zeros(2, np.float32)])
+    fp, gp = sinkhorn_potentials(ap[None], xp[None], bp[None], yp[None],
+                                 diameter="pair")
+    np.testing.assert_allclose(np.asarray(fp)[0, :5], np.asarray(f0)[0],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp)[0, :6], np.asarray(g0)[0],
+                               rtol=1e-5, atol=1e-5)
+    # and both match the f64 oracle run on the unpadded tensors (what the
+    # reference's evaluate path feeds geomloss)
+    f64, g64, _ = geomloss_style_sinkhorn(a, x, b, y)
+    np.testing.assert_allclose(np.asarray(fp)[0, :5], f64, rtol=1e-3, atol=1e-3)
+    # pallas solver applies the same masked per-lane diameter
+    from aspire_tpu.ops.pallas_sinkhorn import sinkhorn_potentials_pallas
+    fpl, gpl = sinkhorn_potentials_pallas(
+        jnp.asarray(ap[None]), jnp.asarray(xp[None]), jnp.asarray(bp[None]),
+        jnp.asarray(yp[None]), diameter="pair", interpret=True)
+    np.testing.assert_allclose(np.asarray(fpl)[0, :5], np.asarray(f0)[0],
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_schedule_below_blur_matches_oracle(rng):
+    """A cloud tighter than blur runs geomloss's [d, blur] schedule, not
+    [blur, blur] (epsilon_schedule's arange is empty when d < blur)."""
+    a, x, b, y = rand_cloud(rng, n=4, m=5, d=6)
+    x = x * 0.003 + 1.0          # joint diameter ~0.02 < blur=0.05
+    y = y * 0.003 + 1.0
+    f, g = sinkhorn_potentials(a[None], x[None], b[None], y[None])
+    f64, g64, _ = geomloss_style_sinkhorn(a, x, b, y)
+    np.testing.assert_allclose(np.asarray(f)[0], f64, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g)[0], g64, rtol=1e-3, atol=1e-4)
+
+
+def test_identical_clouds_stay_finite(rng):
+    """Coincident point clouds (diameter 0) must not divide by zero."""
+    a, x, b, y = rand_cloud(rng, n=4, m=4, d=6)
+    y = x.copy()
+    b = a.copy()
+    f, g = sinkhorn_potentials(a[None], x[None], b[None], y[None])
+    cost = np.asarray(sinkhorn_cost(jnp.asarray(a[None]), f,
+                                    jnp.asarray(b[None]), g))
+    assert np.isfinite(np.asarray(f)).all() and np.isfinite(cost).all()
+    # identical clouds + identical weights: the symmetric updates give f == g
+    # (debias=False keeps an entropic offset, so the cost itself is not 0)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(g), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_scaling_out_of_range_raises(rng):
+    a, x, b, y = rand_cloud(rng, n=3, m=3, d=4)
+    import pytest
+    with pytest.raises(ValueError, match="scaling"):
+        sinkhorn_potentials(a[None], x[None], b[None], y[None], scaling=1.0)
+    from aspire_tpu.ops.pallas_sinkhorn import sinkhorn_potentials_pallas
+    with pytest.raises(ValueError, match="scaling"):
+        sinkhorn_potentials_pallas(jnp.asarray(a[None]), jnp.asarray(x[None]),
+                                   jnp.asarray(b[None]), jnp.asarray(y[None]),
+                                   scaling=1.5, interpret=True)
