@@ -71,14 +71,21 @@ class ConSentDocModel:
         self.hp = hp
         self.bert_config = bert_config
         self.encoder = ConSentEncoder(bert_config, max_sents=hp.max_sents, dtype=dtype)
-        agg = "l2max" if hp.score_aggregation == "l2lse" else hp.score_aggregation
-        self.dist_fn = get_dist_function(agg, hp)
+        # get_dist_function aliases l2lse -> l2max itself (the reference's
+        # caching_score does the same remap, disent_models.py:294-297)
+        self.dist_fn = get_dist_function(hp.score_aggregation, hp)
         if hp.model_name == "miswordpolyenc":
             self.dist_fn = get_dist_function("jointsm", hp)
         self.sent_loss_prop = float(hp.sent_loss_prop)
         self.abs_loss_prop = float(hp.abs_loss_prop)
         self.sentsup_loss_prop = float(hp.sentsup_loss_prop)
         self.cd_svalue_l1_prop = float(hp.cd_svalue_l1_prop)
+        # SCORE-time proportions are not the training mix: the base
+        # WordSentAlignBiEnc pins sent=1.0 / abs=0.0 at __init__
+        # (disent_models.py:253-254) regardless of hparams; subclasses
+        # override below per their reference counterparts.
+        self.score_sent_prop = 1.0
+        self.score_abs_prop = 0.0
 
     # ---- params ----
     def init_params(self, rng: jax.Array, seq_len: int = 64) -> dict:
@@ -103,13 +110,17 @@ class ConSentDocModel:
     def score_reps(self, q_cls, q_sents: MultiVec, c_cls, c_sents: MultiVec):
         """Similarity scores (higher = more similar), reference caching_score
         semantics (disent_models.py:294-307): sent-level sims scaled by the
-        dominant sentence-loss proportion plus optional CLS-distance term."""
+        score-time sentence proportion plus optional CLS-distance term."""
         sims, pair = self.dist_fn(q_sents, c_sents, return_pair_sims=True)
-        prop = max(self.sent_loss_prop, self.sentsup_loss_prop)
-        scores = prop * sims
-        if self.abs_loss_prop > 0.0:
+        if self.hp.model_name == "miswordpolyenc":
+            # WordSentAlignPolyEnc.caching_score negates the joint-sm
+            # negscore and applies NO loss-prop scaling
+            # (disent_models.py:902-906); jointsm_dist returns the negscore
+            return -sims, pair
+        scores = self.score_sent_prop * sims
+        if self.score_abs_prop > 0.0:
             doc_sims = -jnp.linalg.norm(q_cls - c_cls + 1e-6, axis=-1)
-            scores = scores + self.abs_loss_prop * doc_sims
+            scores = scores + self.score_abs_prop * doc_sims
         return scores, pair
 
     # ---- training ----
@@ -212,6 +223,14 @@ class WordSentAbsAlignModel(ConSentDocModel):
     an optional L1 sparsity penalty on the cross-doc similarity matrix
     (WordSentAbsAlignBiEnc, disent_models.py:538-660)."""
 
+    def __init__(self, hp: ModelHParams, bert_config: BertConfig,
+                 dtype: Any = jnp.float32):
+        super().__init__(hp, bert_config, dtype)
+        # this family scores with its hparam proportions
+        # (WordSentAbsAlignBiEnc.__init__, disent_models.py:583-584)
+        self.score_sent_prop = float(hp.sent_loss_prop)
+        self.score_abs_prop = float(hp.abs_loss_prop)
+
     def _combine_losses(self, batch, q_cls, q_sents, p_cls, p_sents,
                         n_cls, n_sents, perm):
         loss = self.sent_loss_prop * _triplet_margin(
@@ -234,6 +253,11 @@ class WordSentAbsSupAlignModel(ConSentDocModel):
                  dtype: Any = jnp.float32):
         super().__init__(hp, bert_config, dtype)
         self.sup_fn = l2sup_weighted_dist if hp.weighted_sup else l2sup_dist
+        # caching_score uses max(sent, sentsup) for this family
+        # (disent_models.py:299-304, 714-716) + the hparam abs term
+        self.score_sent_prop = max(float(hp.sent_loss_prop),
+                                   float(hp.sentsup_loss_prop))
+        self.score_abs_prop = float(hp.abs_loss_prop)
 
     def _combine_losses(self, batch, q_cls, q_sents, p_cls, p_sents,
                         n_cls, n_sents, perm):

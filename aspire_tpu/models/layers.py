@@ -73,10 +73,21 @@ class GatedAttention(nn.Module):
         return masked_softmax(scores, seq_lens)
 
 
+@jax.custom_vjp
 def straight_through(x: jax.Array) -> jax.Array:
-    """Binary step with a hardtanh-style straight-through gradient
-    (generic_layers.py:120-136)."""
-    hard = (x >= 0).astype(x.dtype)
-    # forward: hard; backward: clip(grad) via the hardtanh surrogate
-    surrogate = jnp.clip(x, -1.0, 1.0)
-    return hard + (surrogate - jax.lax.stop_gradient(surrogate))
+    """Binary step with the reference's straight-through gradient
+    (generic_layers.py:120-136): STEFunction.backward returns
+    hardtanh(grad_output) -- the INCOMING gradient clamped to [-1, 1],
+    independent of x (it is not the hardtanh derivative at x)."""
+    return (x >= 0).astype(x.dtype)
+
+
+def _ste_fwd(x):
+    return straight_through(x), None
+
+
+def _ste_bwd(_, g):
+    return (jnp.clip(g, -1.0, 1.0),)
+
+
+straight_through.defvjp(_ste_fwd, _ste_bwd)

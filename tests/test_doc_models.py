@@ -163,3 +163,38 @@ def test_fused_accum_matches_scan(rng, name, kw):
                     jax.tree_util.tree_leaves(ref_grads)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6)
+
+
+def test_score_reps_props_pinned_for_bienc(rng):
+    """miswordbienc scores with sent prop 1.0 / abs 0.0 regardless of the
+    training hparams (reference hardcodes them at __init__,
+    disent_models.py:253-254): sent_loss_prop=0 must NOT zero the scores."""
+    hp = hp_for("miswordbienc", score_aggregation="l2max", sent_loss_prop=0.0)
+    model = build_model(hp, CFG)
+    params = model.init_params(jax.random.key(0))
+    q_cls, q_sents = model.encode(params, make_feats(rng))
+    c_cls, c_sents = model.encode(params, make_feats(rng))
+    scores, _ = model.score_reps(q_cls, q_sents, c_cls, c_sents)
+    assert float(np.abs(np.asarray(scores)).min()) > 0.0
+    # and equals the raw l2max sims (prop exactly 1, no abs term)
+    from aspire_tpu.ops.distances import l2max_dist
+    raw, _ = l2max_dist(q_sents, c_sents, return_pair_sims=True)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(raw), rtol=1e-6)
+
+
+def test_score_reps_polyenc_sign(rng):
+    """miswordpolyenc similarity = -jointsm negscore with NO prop scaling
+    (WordSentAlignPolyEnc.caching_score, disent_models.py:902-906): a doc
+    must score ITSELF at least as high as a random other doc."""
+    hp = hp_for("miswordpolyenc", score_aggregation="l2max",
+                sent_loss_prop=0.25)
+    model = build_model(hp, CFG)
+    params = model.init_params(jax.random.key(0))
+    q_cls, q_sents = model.encode(params, make_feats(rng))
+    c_cls, c_sents = model.encode(params, make_feats(rng))
+    from aspire_tpu.ops.distances import jointsm_dist
+    neg, _ = jointsm_dist(q_sents, c_sents, return_pair_sims=True)
+    scores, _ = model.score_reps(q_cls, q_sents, c_cls, c_sents)
+    np.testing.assert_allclose(np.asarray(scores), -np.asarray(neg), rtol=1e-6)
+    s_self, _ = model.score_reps(q_cls, q_sents, q_cls, q_sents)
+    assert (np.asarray(s_self) >= np.asarray(scores) - 1e-5).all()

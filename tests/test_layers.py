@@ -37,8 +37,11 @@ def test_straight_through_grad():
     y = straight_through(x)
     np.testing.assert_array_equal(np.asarray(y), [0.0, 1.0, 1.0])
     g = jax.grad(lambda x: jnp.sum(straight_through(x) * jnp.asarray([1.0, 2.0, 3.0])))(x)
-    # gradient passes through inside [-1, 1], clipped outside
-    np.testing.assert_allclose(np.asarray(g), [1.0, 2.0, 0.0])
+    # reference STEFunction.backward = hardtanh(grad_output): the INCOMING
+    # gradient clamped to [-1, 1], independent of x (generic_layers.py:128)
+    np.testing.assert_allclose(np.asarray(g), [1.0, 1.0, 1.0])
+    g_neg = jax.grad(lambda x: jnp.sum(straight_through(x) * jnp.asarray([-3.0, 0.5, -0.2])))(x)
+    np.testing.assert_allclose(np.asarray(g_neg), [-1.0, 0.5, -0.2])
 
 
 def test_miswordabsbienc_loss(rng):
