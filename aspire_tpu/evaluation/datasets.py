@@ -76,6 +76,10 @@ class EvalDataset:
         if self.name == "csfcube":
             return None  # whole dataset is test; folds handle dev/test
         fname = os.path.join(self.root_path, f"{self.name}-evaluation_splits.json")
+        if not os.path.exists(fname):
+            # ad-hoc/plugin datasets without a split file aggregate as one
+            # test split (the documented plain-mean path)
+            return None
         with codecs.open(fname, "r", "utf-8") as f:
             return json.load(f)
 

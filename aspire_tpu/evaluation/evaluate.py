@@ -22,7 +22,7 @@ import numpy as np
 from .datasets import EvalDataset, FACETS
 from .models import SimilarityModel
 from .protocols import (
-    per_query_metrics, aggregate_crossval, aggregate_split, rank_candidates,
+    per_query_metrics, aggregate_crossval, aggregate_protocol, rank_candidates,
     ranked_relevances,
 )
 
@@ -43,7 +43,8 @@ def evaluations_filename(results_dir: str, facet, aggregated: bool) -> str:
 def encode_dataset(model: SimilarityModel, dataset: EvalDataset,
                    cache_path: str | None = None) -> None:
     """Encode every uncached paper in the dataset (evaluate.py:15-32)."""
-    if cache_path is not None:
+    if cache_path is not None and model.cache is None:
+        # don't reopen an already-attached cache (h5 double-open locks)
         model.set_encodings_cache(cache_path)
     assert model.cache is not None, "set a cache before bulk encoding"
     uncached = {pid: dataset.get(pid) for pid, _ in dataset
@@ -71,7 +72,9 @@ def score_dataset(model: SimilarityModel, dataset: EvalDataset,
         sims = model.get_similarities(q_enc, [encs[c] for c in cands])
         ranked = sorted(zip(cands, (float(s) for s in sims)),
                         key=lambda kv: kv[1], reverse=True)
-        scores[qpid] = [[c, s] for c, s in ranked]
+        # reference file contract stores -1*similarity (a distance), most
+        # similar first (evaluate.py:77); metrics consume the ORDER only
+        scores[qpid] = [[c, -s] for c, s in ranked]
     with codecs.open(scores_filename(results_dir, facet), "w", "utf-8") as f:
         json.dump(scores, f)
     return scores
@@ -97,20 +100,7 @@ def evaluate_scores(results_dir: str, dataset: EvalDataset,
     pd.DataFrame(rows).to_csv(evaluations_filename(results_dir, facet, False),
                               index=False)
 
-    results = {}
-    if dataset.name == "csfcube":
-        assert facet is not None, "CSFCube is evaluated per facet"
-        kmetrics = {f"{q}_{facet}": m for q, m in qmetrics.items()}
-        for split in ("dev", "test"):
-            results[split] = aggregate_crossval(kmetrics, facet, split)
-    else:
-        splits = dataset.get_test_dev_split()
-        if splits is None:
-            results["test"] = aggregate_split(qmetrics)
-        else:
-            for split in ("dev", "test"):
-                qids = [str(q) for q in splits.get(split, [])]
-                results[split] = aggregate_split(qmetrics, split_qids=qids)
+    results = aggregate_protocol(dataset, qmetrics, facet)
     agg_rows = [{"split": s, **m} for s, m in results.items()]
     pd.DataFrame(agg_rows).to_csv(evaluations_filename(results_dir, facet, True),
                                   index=False)
@@ -126,6 +116,18 @@ def run_evaluation(model: SimilarityModel, dataset: EvalDataset,
     """Drive the full pipeline (reference main, evaluate.py:164-212)."""
     if facets is None:
         facets = list(FACETS) if dataset.name == "csfcube" else [None]
+    if dataset.name == "csfcube" and None in facets and (
+            "score" in actions or "evaluate" in actions):
+        # fail BEFORE the (expensive) scoring pass, not at the aggregation
+        # assert after it
+        raise ValueError("CSFCube is evaluated per facet: pass --facet "
+                         "background|method|result, or omit --facet to run "
+                         "all three")
+    # the cache serves BOTH the encode and score actions (the reference
+    # attaches it for either, evaluate.py:186): a score-only run must read
+    # the previously built encodings, not silently re-encode per query
+    if cache_path is not None:
+        model.set_encodings_cache(cache_path)
     out = {}
     if "encode" in actions:
         if cache_path is not None:

@@ -122,6 +122,12 @@ class SimilarityModel(metaclass=ABCMeta):
                     ner_ids += list(range(ner_cur, ner_cur + len(sent_ners)))
                 ner_cur += len(sent_ners)
             filtered = facet_ids + ner_ids
+        # encode() keeps only a PREFIX of the combined [sents..., ents...]
+        # rows (max_sents cap + 500-token truncation drop trailing rows --
+        # the reference has no such cap, so this clamp is port-specific):
+        # rows past what was actually encoded don't exist
+        n_rows = len(unfaceted_encoding)
+        filtered = [i for i in filtered if i < n_rows]
         return unfaceted_encoding[filtered]
 
     def __del__(self):
@@ -325,6 +331,8 @@ class AspireSimilarityModel(SimilarityModel):
     SCORE_CHUNKS = (64, 256, 1024)
 
     def get_similarities(self, query_enc, cand_encs: list) -> np.ndarray:
+        if not cand_encs:
+            return np.zeros((0,), np.float32)
         # fixed sentence bucket: one scoring shape per chunk size (pads are
         # masked; a 24-vs-16 sentence Sinkhorn costs microseconds while each
         # extra compiled shape costs ~seconds of tunnel upload)
@@ -354,6 +362,13 @@ class AspireSimilarityModel(SimilarityModel):
 
 class AspireNERSimilarityModel(AspireSimilarityModel):
     """Entities appended as extra sentences (AspireNER, utils/models.py:211-233)."""
+
+    def __init__(self, *args, **kw):
+        # entity rows ride after the sentence rows, so facet filtering must
+        # take the sentence-entity branch for ANY construction path (the
+        # factory used to patch this attribute post-hoc)
+        kw.setdefault("encoding_type", "sentence-entity")
+        super().__init__(*args, **kw)
 
     @staticmethod
     def _with_entity_sents(batch_papers: list[dict]) -> list[dict]:
@@ -406,8 +421,13 @@ class AspireContextNERSimilarityModel(AspireSimilarityModel):
     def encode(self, batch_papers: list[dict]):
         assert "ENTITIES" in batch_papers[0], (
             "No NER data for input; place entities at {dataset}-ner.jsonl")
+        # pin ONE static shape like the base _prep: every distinct
+        # seq-length bucket would compile a separate BERT span program
+        # (~a minute each over tunneled backends)
+        seq_len = min(512, self.bert_config.max_position_embeddings)
         fb, docs = prepare_abstracts(batch_papers, self.tokenizer,
-                                     max_sents=self.max_sents, return_docs=True)
+                                     max_sents=self.max_sents,
+                                     seq_len=seq_len, return_docs=True)
         spans = ner_token_spans(batch_papers, self.tokenizer, docs)
         mask = spans_to_mask(spans, fb.seq_len)
         _, sents, ents = self._encode_spans_jit(
@@ -535,8 +555,17 @@ class SbertSimilarityModel(SimilarityModel):
         enc = self.tokenizer(sents, padding="longest", truncation=True,
                              max_length=self.max_toks, return_tensors="np",
                              pad_to_multiple_of=64)
-        reps = self._encode_fn(np.asarray(enc["input_ids"], np.int32),
-                               np.asarray(enc["attention_mask"], np.int32))
+        ids = np.asarray(enc["input_ids"], np.int32)
+        am = np.asarray(enc["attention_mask"], np.int32)
+        # bucket the row count (total sentences) so the flax path compiles a
+        # handful of shapes, not one per batch composition
+        n_rows = -(-len(ids) // 32) * 32
+        if n_rows != len(ids):
+            pad_id = self.tokenizer.pad_token_id or 0
+            ids = np.pad(ids, ((0, n_rows - len(ids)), (0, 0)),
+                         constant_values=pad_id)
+            am = np.pad(am, ((0, n_rows - len(am)), (0, 0)))
+        reps = self._encode_fn(ids, am)[: len(sents)]
         return np.split(reps, splits[:-1])
 
     def get_similarity(self, x, y) -> float:
@@ -579,14 +608,19 @@ class TrainedSentSimilarityModel(SimilarityModel):
             rows.append(ids)
             max_len = max(max_len, len(ids))
         max_len = -(-max_len // 64) * 64
-        token_ids = np.full((len(rows), max_len), self.tokenizer.pad_token_id,
+        # pad the ROW count to a bucket too: the row dim is the batch's total
+        # sentence count, and every distinct value would compile a fresh BERT
+        # program (~minutes over tunneled backends); pad rows are all-pad
+        # tokens, sliced off below
+        n_rows = -(-len(rows) // 32) * 32
+        token_ids = np.full((n_rows, max_len), self.tokenizer.pad_token_id,
                             np.int32)
-        attn = np.zeros((len(rows), max_len), np.int32)
+        attn = np.zeros((n_rows, max_len), np.int32)
         for i, ids in enumerate(rows):
             token_ids[i, : len(ids)] = ids
             attn[i, : len(ids)] = 1
         reps = np.asarray(self._encode_jit(jnp.asarray(token_ids),
-                                           jnp.asarray(attn)))
+                                           jnp.asarray(attn)))[: len(rows)]
         return np.split(reps, splits[:-1])
 
     def get_similarity(self, x, y) -> float:
@@ -700,10 +734,8 @@ def get_model(model_name: str, trained_model_path: str | None = None,
                                                  agg="ot", **akw)
     if model_name in ner_models:
         assert weights_dir, f"{model_name} needs a local weights_dir"
-        m = AspireNERSimilarityModel.from_hf_dir(model_name, weights_dir,
-                                                 agg="ot", **akw)
-        m.encoding_type = "sentence-entity"
-        return m
+        return AspireNERSimilarityModel.from_hf_dir(model_name, weights_dir,
+                                                    agg="ot", **akw)
     if model_name in {"aspire_context_ner_compsci", "aspire_context_ner_biomed"}:
         assert weights_dir, f"{model_name} needs a local weights_dir"
         return AspireContextNERSimilarityModel.from_hf_dir(
@@ -724,7 +756,9 @@ def get_model(model_name: str, trained_model_path: str | None = None,
         rc = RunConfig.from_run_info(os.path.join(trained_model_path, "run_info.json"))
         params = ocp.StandardCheckpointer().restore(
             os.path.abspath(os.path.join(trained_model_path, "model_cur_best")))
-        return ClsSimilarityModel(name=model_name, bert_config=BertConfig(),
+        bc = (BertConfig(**rc.extra["bert_config"])
+              if "bert_config" in rc.extra else BertConfig())
+        return ClsSimilarityModel(name=model_name, bert_config=bc,
                                   params=params["bert"], tokenizer=tokenizer,
                                   layer_mix=np.asarray(params["layer_weights"]),
                                   **kw)

@@ -68,6 +68,29 @@ def aggregate_split(query_metrics: dict, split_qids: list | None = None) -> dict
             for m in AGG_METRICS}
 
 
+def aggregate_protocol(dataset, query_metrics: dict,
+                       facet: str | None) -> dict:
+    """Dataset-appropriate {split: aggregate} dispatch, shared by the
+    evaluate and ranking-eval stacks: CSFCube aggregates by the 2-fold
+    cross-val protocol keyed '{qid}_{facet}'; other datasets by their
+    dev/test splits (plain mean when a dataset has no split)."""
+    results = {}
+    if dataset.name == "csfcube":
+        assert facet is not None, "CSFCube is evaluated per facet"
+        keyed = {f"{q}_{facet}": m for q, m in query_metrics.items()}
+        for split in ("dev", "test"):
+            results[split] = aggregate_crossval(keyed, facet, split)
+    else:
+        splits = dataset.get_test_dev_split()
+        if splits is None:
+            results["test"] = aggregate_split(query_metrics)
+        else:
+            for split in ("dev", "test"):
+                qids = [str(q) for q in splits.get(split, [])]
+                results[split] = aggregate_split(query_metrics, split_qids=qids)
+    return results
+
+
 def significance_test(per_query_a: dict, per_query_b: dict,
                       metric: str = "av_precision", n_comparisons: int = 1):
     """Welch's t-test between two methods' per-query metric values with a

@@ -17,7 +17,7 @@ import os
 
 from .datasets import EvalDataset
 from .protocols import (
-    per_query_metrics, aggregate_crossval, aggregate_split, ranked_relevances,
+    per_query_metrics, aggregate_protocol, ranked_relevances,
 )
 
 log = logging.getLogger(__name__)
@@ -49,20 +49,7 @@ def eval_pool_ranking(data_dir: str, dataset_name: str, method: str,
     rels = ranked_relevances(ranked_pairs, gold)
     qmetrics = per_query_metrics(rels, threshold_grade=ds.get_threshold_grade())
 
-    results = {}
-    if dataset_name == "csfcube":
-        assert facet is not None
-        keyed = {f"{q}_{facet}": m for q, m in qmetrics.items()}
-        for split in ("dev", "test"):
-            results[split] = aggregate_crossval(keyed, facet, split)
-    else:
-        splits = ds.get_test_dev_split()
-        if splits is None:
-            results["test"] = aggregate_split(qmetrics)
-        else:
-            for split in ("dev", "test"):
-                qids = [str(q) for q in splits.get(split, [])]
-                results[split] = aggregate_split(qmetrics, split_qids=qids)
+    results = aggregate_protocol(ds, qmetrics, facet)
     for split, agg in results.items():
         row = "  ".join(f"{k}={agg[k]:.4f}" for k in HEADLINE if k in agg)
         log.info("%s/%s %s [%s]: %s", dataset_name, method, split,

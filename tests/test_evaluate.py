@@ -143,3 +143,70 @@ def test_encode_without_cache_warns(tmp_path, tok, rng, caplog):
         run_evaluation(enc, ds, str(tmp_path / "res"), actions=("encode",),
                        cache_path=None)
     assert any("without a cache" in r.message for r in caplog.records)
+
+
+def test_scores_file_stores_negated_similarity(tmp_path, tok, rng):
+    """Reference file contract: scores.json holds -1*similarity (a distance),
+    most-similar first -> stored values are non-decreasing per query."""
+    import os
+    make_dataset(tmp_path, rng, n_queries=2, n_cands=4)
+    ds = EvalDataset("toy", str(tmp_path))
+    from aspire_tpu.models.encoders import ConSentEncoder
+    cfg = BertConfig.tiny()
+    params = ConSentEncoder(cfg, max_sents=6).init(
+        jax.random.key(0), *(np.zeros((1, 8), np.int32),) * 3)["params"]
+    enc = AspireSimilarityModel(name="m", bert_config=cfg, params=params,
+                                tokenizer=tok, agg="l2max", max_sents=6)
+    results_dir = str(tmp_path / "r")
+    run_evaluation(enc, ds, results_dir, actions=("score",),
+                   cache_path=str(tmp_path / "c.h5"))
+    # score-only run must have attached the cache (score reads/writes it)
+    assert enc.cache is not None
+    with open(os.path.join(results_dir, "scores.json")) as f:
+        scores = json.load(f)
+    for q, rows in scores.items():
+        vals = [v for _, v in rows]
+        assert vals == sorted(vals), "stored distances must ascend"
+
+
+def test_csfcube_unfaceted_rejected_before_scoring(tmp_path):
+    class _Stub:
+        name = "csfcube"
+    with pytest.raises(ValueError, match="per facet"):
+        run_evaluation(None, _Stub(), str(tmp_path), actions=("score",),
+                       facets=[None])
+
+
+def test_get_similarities_empty_pool(tok, rng):
+    from aspire_tpu.models.encoders import ConSentEncoder
+    cfg = BertConfig.tiny()
+    params = ConSentEncoder(cfg, max_sents=6).init(
+        jax.random.key(0), *(np.zeros((1, 8), np.int32),) * 3)["params"]
+    enc = AspireSimilarityModel(name="m", bert_config=cfg, params=params,
+                                tokenizer=tok, agg="l2max", max_sents=6)
+    out = enc.get_similarities(rng.normal(size=(2, cfg.hidden_size)), [])
+    assert out.shape == (0,)
+
+
+def test_faceted_ner_encoding_survives_truncation(tok, rng):
+    """A paper whose sentences+entities exceed max_sents must facet-filter
+    to the rows that actually exist (prefix truncation), not index past the
+    encoding (reference has no max_sents cap; this clamp is port-specific)."""
+    from aspire_tpu.models.encoders import ConSentEncoder
+    from aspire_tpu.evaluation.models import AspireNERSimilarityModel
+    cfg = BertConfig.tiny()
+    params = ConSentEncoder(cfg, max_sents=4).init(
+        jax.random.key(0), *(np.zeros((1, 8), np.int32),) * 3)["params"]
+    m = AspireNERSimilarityModel(name="m", bert_config=cfg, params=params,
+                                 tokenizer=tok, agg="l2max", max_sents=4)
+    assert m.encoding_type == "sentence-entity"   # set by __init__, not factory
+    paper = {"TITLE": "title",
+             "ABSTRACT": ["alpha beta", "gamma delta", "epsilon zeta"],
+             "ENTITIES": [["alpha"], ["delta", "gamma"], ["zeta"]],
+             "FACETS": ["background_label", "method_label", "method_label"]}
+    enc, = m.encode([paper])
+    assert enc.shape[0] == 4     # 3 sents + 4 ents truncated to max_sents
+    got = m.get_faceted_encoding(enc, "method", paper)
+    # method rows: sentences 1,2 kept; entity rows (global ids 4,5,6) all
+    # truncated away -> only the two sentence rows survive
+    np.testing.assert_array_equal(got, enc[[1, 2]])
