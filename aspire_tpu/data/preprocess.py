@@ -57,10 +57,15 @@ def _get_spacy():
     if "nlp" not in _SPACY_CACHE:
         try:
             import spacy
-            _SPACY_CACHE["nlp"] = spacy.load(
+            nlp = spacy.load(
                 "en_core_sci_sm",
                 disable=["tok2vec", "tagger", "attribute_ruler", "lemmatizer",
                          "parser", "ner"])
+            # with the parser disabled doc.sents needs an explicit
+            # sentencizer (the reference adds one too, pre_proc_cocits.py:25)
+            if "sentencizer" not in nlp.pipe_names:
+                nlp.add_pipe("sentencizer")
+            _SPACY_CACHE["nlp"] = nlp
         except Exception:
             _SPACY_CACHE["nlp"] = None
     return _SPACY_CACHE["nlp"]

@@ -101,18 +101,32 @@ class TripleStream:
         rng.shuffle(buf)
         yield from buf
 
-    def _bucket_for(self, queries, positives) -> int:
-        """Smallest bucket covering the longest tokenized doc of the micro."""
-        from ..text.tokenize import tokenize_doc_sents
-        longest = 0
-        for d in queries + positives:
-            td = tokenize_doc_sents([d["TITLE"] + " [SEP] "] + list(d["ABSTRACT"]),
-                                    self.tokenizer)
-            longest = max(longest, len(td.token_ids))
-        for b in self.seq_buckets:
-            if longest <= b:
-                return b
-        return self.seq_buckets[-1]
+    def _bucketed_micro(self, queries, positives) -> tuple[int, dict]:
+        """Tokenize ONCE, pick the smallest covering bucket, pack.
+
+        Tokenization is the CPU hot loop (the native tokenizer exists for
+        it), so bucket selection reuses the same TokenizedDocs the arrays
+        are packed from.  The truncation cap is the largest bucket, so the
+        longest doc always fits it."""
+        from ..text.tokenize import tokenize_abstracts, features_to_arrays
+        cap = self.seq_buckets[-1] - 2           # [CLS] + content + [SEP]
+        qd = tokenize_abstracts(queries, self.tokenizer, max_num_toks=cap)
+        pd = tokenize_abstracts(positives, self.tokenizer, max_num_toks=cap)
+        longest = max(len(t.token_ids) for t in qd + pd)
+        bucket = next(b for b in self.seq_buckets if longest <= b)
+
+        def pack(docs, texts, align_type=None):
+            fb = features_to_arrays(docs, pad_id=self.tokenizer.pad_token_id,
+                                    max_sents=self.hp.max_sents,
+                                    seq_len=bucket)
+            out = _fb_to_dict(fb)
+            if align_type is not None and all(align_type in t for t in texts):
+                out["align"] = np.asarray([t[align_type] for t in texts],
+                                          np.int32)
+            return out
+
+        return bucket, {"query": pack(qd, queries),
+                        "pos": pack(pd, positives, self.align_type)}
 
     def __iter__(self) -> Iterator[dict]:
         by_bucket: dict[int, list[dict]] = {}
@@ -126,13 +140,16 @@ class TripleStream:
             positives.append(ex["pos_context"])
             n_seen += 1
             if len(queries) == self.micro_batch:
-                bucket = (self._bucket_for(queries, positives)
-                          if self.seq_buckets else self.seq_len)
-                micro = {
-                    "query": _featurize(queries, self.tokenizer, self.hp, bucket),
-                    "pos": _featurize(positives, self.tokenizer, self.hp,
-                                      bucket, self.align_type),
-                }
+                if self.seq_buckets:
+                    bucket, micro = self._bucketed_micro(queries, positives)
+                else:
+                    bucket = self.seq_len
+                    micro = {
+                        "query": _featurize(queries, self.tokenizer, self.hp,
+                                            bucket),
+                        "pos": _featurize(positives, self.tokenizer, self.hp,
+                                          bucket, self.align_type),
+                    }
                 queries, positives = [], []
                 micros = by_bucket.setdefault(bucket, [])
                 micros.append(micro)

@@ -22,7 +22,11 @@ _lib = None
 
 
 def _build() -> pathlib.Path:
-    if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+    # stale if the source OR any header (the generated unicode tables) is
+    # newer than the built library
+    deps = [_SRC] + sorted(_NATIVE_DIR.glob("*.h"))
+    if _LIB.exists() and all(
+            _LIB.stat().st_mtime >= d.stat().st_mtime for d in deps):
         return _LIB
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
            str(_SRC), "-o", str(_LIB)]
@@ -70,6 +74,7 @@ class FastWordPiece:
         self._vocab = lib.at_load_vocab(vocab_file.encode(), unk_token.encode())
         if not self._vocab:
             raise RuntimeError(f"could not load vocab {vocab_file}")
+        self._unk_id = lib.at_token_id(self._vocab, unk_token.encode())
         self.lowercase = lowercase
         self.vocab_size = lib.at_vocab_size(self._vocab)
         self.cls_token_id = lib.at_token_id(self._vocab, cls_token.encode())
@@ -84,6 +89,10 @@ class FastWordPiece:
         import re
         self._special_re = re.compile(
             "(" + "|".join(re.escape(t) for t in self._specials) + ")")
+        # id -> token strings for the HF-compatible tokenize()/convert APIs
+        # (the entity-span matcher compares token-string sublists)
+        with open(vocab_file, encoding="utf-8") as f:
+            self._id2tok = [ln.rstrip("\n") for ln in f]
 
     def __del__(self):
         if getattr(self, "_vocab", None):
@@ -106,6 +115,15 @@ class FastWordPiece:
         if not pieces:
             return np.empty(0, np.int32)
         return np.concatenate(pieces)
+
+    def tokenize(self, text: str) -> list[str]:
+        """Token strings (HF BertTokenizer.tokenize drop-in): the entity-span
+        matcher (text.tokenize.ner_token_spans) compares string sublists."""
+        return [self._id2tok[i] for i in self.encode(text)]
+
+    def convert_tokens_to_ids(self, tokens: list[str]) -> list[int]:
+        ids = (self._lib.at_token_id(self._vocab, t.encode()) for t in tokens)
+        return [i if i >= 0 else self._unk_id for i in ids]
 
     def tokenize_doc_sents(self, doc_sents: list[str],
                            max_num_toks: int = MAX_NUM_TOKS) -> TokenizedDoc:

@@ -127,6 +127,22 @@ def features_to_arrays(docs: list[TokenizedDoc], pad_id: int,
                         sent_ids=sent_ids, abs_lens=abs_lens)
 
 
+def tokenize_abstracts(batch_abs: list[dict], tokenizer,
+                       max_num_toks: int = MAX_NUM_TOKS) -> list[TokenizedDoc]:
+    """TokenizedDocs for {'TITLE': str, 'ABSTRACT': list[str]} dicts.
+
+    The ONE place the SPECTER-style "<title> [SEP] " prefix is built
+    (ex_aspire_consent.py:196-200) -- callers that need lengths before
+    packing (seq-bucket selection) tokenize here once and hand the same
+    docs to features_to_arrays."""
+    docs = []
+    for ex in batch_abs:
+        seqs = [ex["TITLE"] + " [SEP] "]
+        seqs.extend(ex["ABSTRACT"])
+        docs.append(tokenize_doc_sents(seqs, tokenizer, max_num_toks=max_num_toks))
+    return docs
+
+
 def prepare_abstracts(batch_abs: list[dict], tokenizer, max_sents: int = 24,
                       pad_multiple: int = 64, seq_len: int | None = None,
                       max_num_toks: int = MAX_NUM_TOKS,
@@ -137,11 +153,13 @@ def prepare_abstracts(batch_abs: list[dict], tokenizer, max_sents: int = 24,
     reference (ex_aspire_consent.py:196-200).  With `return_docs=True` also
     returns the per-doc `TokenizedDoc`s (for entity-span bookkeeping).
     """
-    docs = []
-    for ex in batch_abs:
-        seqs = [ex["TITLE"] + " [SEP] "]
-        seqs.extend(ex["ABSTRACT"])
-        docs.append(tokenize_doc_sents(seqs, tokenizer, max_num_toks=max_num_toks))
+    if seq_len is not None:
+        # a pinned sequence length bounds the content tokens it can hold:
+        # without this clamp the 500-token default overflows any
+        # seq_len < 502 ([CLS] + content + [SEP]) and the packing assert
+        # fires mid-run, data-dependently
+        max_num_toks = min(max_num_toks, seq_len - 2)
+    docs = tokenize_abstracts(batch_abs, tokenizer, max_num_toks=max_num_toks)
     for d in docs:
         assert d.num_sents > 0, "abstract truncated to zero sentences"
     fb = features_to_arrays(docs, pad_id=tokenizer.pad_token_id,

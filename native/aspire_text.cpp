@@ -304,8 +304,13 @@ int32_t at_pack_doc(const int32_t* sent_ids_flat, const int32_t* sent_counts,
                 ++w;
             }
             cur_len += keep;
-            if (s > 0) ++kept_sents;
         }
+        // the HF path appends a (possibly EMPTY) slot for every sentence
+        // until the truncation break: a zero-token sentence still occupies
+        // a slot, so later sentences keep their original indices and the
+        // label/extraction bookkeeping stays aligned.  Only the sentence
+        // that overflows with nothing kept is dropped.
+        if ((!last || keep > 0) && s > 0) ++kept_sents;
         src += len;
         if (last) break;
     }

@@ -152,3 +152,38 @@ def test_prepare_abstracts_with_fast_tokenizer(hf, fast):
     np.testing.assert_array_equal(fb_hf.sent_ids, fb_fast.sent_ids)
     np.testing.assert_array_equal(fb_hf.abs_lens, fb_fast.abs_lens)
     np.testing.assert_array_equal(fb_hf.attn_mask, fb_fast.attn_mask)
+
+
+def test_doc_packing_empty_sentence_parity(hf, fast):
+    """A zero-token sentence (cleaned-away format chars) must occupy an
+    EMPTY slot, like the HF path, so later sentences keep their indices."""
+    doc = ["title [SEP] ", SENTS[0], "​", SENTS[1]]
+    ref = tokenize_doc_sents(doc, hf)
+    got = fast.tokenize_doc_sents(doc)
+    assert ref.num_sents == 3 and ref.sent_token_idxs[1] == []
+    assert got.token_ids == ref.token_ids
+    assert got.sent_token_idxs == ref.sent_token_idxs
+    # trailing empty sentence also keeps its slot
+    doc2 = ["title [SEP] ", SENTS[0], "​"]
+    ref2 = tokenize_doc_sents(doc2, hf)
+    got2 = fast.tokenize_doc_sents(doc2)
+    assert got2.sent_token_idxs == ref2.sent_token_idxs
+
+
+def test_fast_tokenize_strings_api(hf, fast):
+    """tokenize()/convert_tokens_to_ids: the entity-span matcher's API."""
+    for sent in SENTS:
+        assert fast.tokenize(sent) == hf.tokenize(sent)
+        assert (fast.convert_tokens_to_ids(fast.tokenize(sent))
+                == hf.convert_tokens_to_ids(hf.tokenize(sent)))
+
+
+def test_prepare_abstracts_short_seq_len_clamps(hf):
+    """seq_len < 502 must clamp the 500-token content cap, not crash the
+    packing assert on the first long document."""
+    from aspire_tpu.text.tokenize import prepare_abstracts
+    long_doc = {"TITLE": "title",
+                "ABSTRACT": ["we propose a new method " * 20] * 4}
+    fb = prepare_abstracts([long_doc], hf, max_sents=6, seq_len=64)
+    assert fb.token_ids.shape[1] == 64
+    assert int(fb.attn_mask.sum()) <= 64
