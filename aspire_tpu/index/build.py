@@ -64,6 +64,9 @@ class MultiVecIndex:
         np.save(path / "doc_lens.npy", self.doc_lens)
         with open(path / "pid2idx.json", "w") as f:
             json.dump({pid: i for i, pid in enumerate(self.pids)}, f)
+        # type-preserving pid list (JSON object keys stringify int ids)
+        with open(path / "pids.json", "w") as f:
+            json.dump(list(self.pids), f)
         with open(path / "meta.json", "w") as f:
             json.dump(meta, f)
 
@@ -78,11 +81,16 @@ class MultiVecIndex:
             if "bfloat16" in meta.get("sent_dtype", ""):
                 import ml_dtypes
                 sents = sents.view(ml_dtypes.bfloat16)
-        with open(path / "pid2idx.json") as f:
-            pid2idx = json.load(f)
-        pids = [None] * len(pid2idx)
-        for pid, i in pid2idx.items():
-            pids[i] = pid
+        pids_path = path / "pids.json"
+        if pids_path.exists():  # type-preserving ordered list (see save)
+            with open(pids_path) as f:
+                pids = json.load(f)
+        else:
+            with open(path / "pid2idx.json") as f:
+                pid2idx = json.load(f)
+            pids = [None] * len(pid2idx)
+            for pid, i in pid2idx.items():
+                pids[i] = pid
         return cls(sents=sents, doc_ids=np.load(path / "doc_ids.npy"),
                    doc_lens=np.load(path / "doc_lens.npy"), pids=pids,
                    dtype=sents.dtype)
@@ -112,16 +120,23 @@ def build_index_from_reps(doc_reps: list[np.ndarray], pids: list,
     doc_lens = np.asarray([r.shape[0] for r in doc_reps], np.int32)
     dim = doc_reps[0].shape[1]
     total = int(doc_lens.sum())
-    target = -(-total // n_shards)
 
     shards: list[list[int]] = [[] for _ in range(n_shards)]
     shard_fill = np.zeros(n_shards, np.int64)
     si = 0
+    remaining = total
     for di, ln in enumerate(doc_lens):
-        if shard_fill[si] + ln > target and si < n_shards - 1:
+        # adaptive target (remaining work over remaining shards) and never
+        # advance off an EMPTY shard: one oversized doc must not strand
+        # empty shards behind OR after it -- every shard pads to the max
+        # fill, so an empty shard inflates memory/scan work for all of them
+        target = -(-remaining // (n_shards - si))
+        if shard_fill[si] > 0 and shard_fill[si] + ln > target \
+                and si < n_shards - 1:
             si += 1
         shards[si].append(di)
         shard_fill[si] += int(ln)
+        remaining -= int(ln)
 
     shard_len = int(max(shard_fill.max(), 1))
     # round up to a lane-friendly multiple
@@ -154,6 +169,12 @@ def encode_corpus(model, params, corpus: list[dict], tokenizer,
     @jax.jit
     def _encode_p(p, feats):
         cls, mv = model.encode(p, feats)
+        if mv is None:
+            # CLS-only families (cospecter / sent models) return no
+            # sentence reps: one zero row per doc keeps the return contract
+            b = cls.shape[0]
+            return cls, jnp.zeros((b, 1, cls.shape[-1]), cls.dtype), \
+                jnp.zeros((b,), jnp.int32)
         return cls, mv.embed, mv.lens
 
     _encode = lambda feats: _encode_p(params, feats)

@@ -42,6 +42,9 @@ def cls_search(q: jax.Array, reps: jax.Array, norms: jax.Array, k: int):
                       preferred_element_type=jnp.float32)
     score = 2.0 * sims - norms - jnp.sum(qf * qf)
     v, i = jax.lax.top_k(score, k)
+    # pad rows (+inf norms) score -inf: mark them -1 like the dense path so
+    # k > n_docs can't surface a pad row as a plausible doc index
+    i = jnp.where(jnp.isneginf(v), -1, i)
     return -jnp.sqrt(jnp.maximum(-v, 0.0)), i
 
 
@@ -60,7 +63,8 @@ def make_sharded_cls_search(mesh: Mesh, k: int):
         v_all = jax.lax.all_gather(v, "shard").reshape(-1)
         i_all = jax.lax.all_gather(i, "shard").reshape(-1)
         vk, ik = jax.lax.top_k(v_all, k)
-        return -jnp.sqrt(jnp.maximum(-vk, 0.0)), i_all[ik]
+        idx = jnp.where(jnp.isneginf(vk), -1, i_all[ik])  # pad sentinel
+        return -jnp.sqrt(jnp.maximum(-vk, 0.0)), idx
 
     fn = shard_map(_local, mesh=mesh,
                    in_specs=(P(), P("shard"), P("shard")),

@@ -40,10 +40,15 @@ def _per_doc_scores(q_sents: jax.Array, q_len: jax.Array, sents: jax.Array,
     -> f32[n_docs] (NEG where a doc has no sentences in this shard).
     """
     q = q_sents.astype(jnp.float32)
-    x = sents.astype(jnp.float32)
     qq = jnp.sum(q * q, axis=1)[:, None]
-    xx = jnp.sum(x * x, axis=1)[None, :]
-    qx = jnp.einsum("sd,ld->sl", q, x, preferred_element_type=jnp.float32)
+    # read the corpus in its STORAGE dtype (bf16 indexes halve HBM traffic;
+    # an astype(f32) here would materialize a corpus-sized f32 copy every
+    # query) -- both einsums accumulate f32 on the MXU, the dense-bucket
+    # path's semantics
+    xx = jnp.einsum("ld,ld->l", sents, sents,
+                    preferred_element_type=jnp.float32)[None, :]
+    qx = jnp.einsum("sd,ld->sl", q.astype(sents.dtype), sents,
+                    preferred_element_type=jnp.float32)
     d2 = jnp.maximum(qq + xx - 2.0 * qx, 0.0)                     # [sq, L]
     neg = -jnp.sqrt(d2)
     # mask invalid query sentences

@@ -41,6 +41,11 @@ def make_mesh(n_data: int | None = None, devices=None) -> Mesh:
     """1-D data-parallel mesh over the first `n_data` devices (default all)."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is not None:
+        # fail fast: silently truncating would run 'data-parallel' on fewer
+        # devices than the caller sized their batch for
+        assert len(devices) >= n_data, (
+            f"requested {n_data} data-parallel devices, only "
+            f"{len(devices)} available")
         devices = devices[:n_data]
     return Mesh(np.asarray(devices), ("data",))
 
@@ -49,6 +54,9 @@ def make_serving_mesh(n_shards: int | None = None, devices=None) -> Mesh:
     """1-D corpus-sharding mesh for index serving."""
     devices = list(devices if devices is not None else jax.devices())
     if n_shards is not None:
+        assert len(devices) >= n_shards, (
+            f"requested {n_shards} index shards, only {len(devices)} "
+            f"devices available")
         devices = devices[:n_shards]
     return Mesh(np.asarray(devices), ("shard",))
 

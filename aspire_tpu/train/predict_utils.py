@@ -1,8 +1,9 @@
 """Dev-set evaluation helpers (src/learning/predict_utils.py port).
 
 batched_loss: summed no-grad loss over a dev stream (the early-stop signal,
-:12-83).  batched_f1: macro/binary F1 from logits for classification-style
-dev scoring (:86-141, sklearn-based in the reference)."""
+src/learning/predict_utils.py:12-83).  batched_f1: macro/binary F1 from
+logits for classification-style dev scoring (:86-141, sklearn-based in the
+reference)."""
 from __future__ import annotations
 
 from typing import Iterator
@@ -12,14 +13,21 @@ import numpy as np
 import jax
 
 
+_LOSS_JIT_CACHE: dict = {}
+
+
 def batched_loss(model, params, batches: Iterator, rng=None) -> float:
     """Sum of deterministic losses over a dev batch stream."""
     key = rng if rng is not None else jax.random.key(0)
     import jax.numpy as jnp
 
-    @jax.jit
-    def one(params, batch, key):
-        return model.train_loss(params, batch, key, False)
+    # cache the jitted step per model: a fresh inner function each call
+    # would retrace (and without the persistent cache, recompile) the full
+    # dev-loss program on every early-stop check
+    one = _LOSS_JIT_CACHE.get(id(model))
+    if one is None:
+        one = jax.jit(lambda p, b, k: model.train_loss(p, b, k, False))
+        _LOSS_JIT_CACHE[id(model)] = one
 
     total = 0.0
     for batch in batches:

@@ -170,15 +170,18 @@ class Trainer:
                 (grads, loss_sum), losses = jax.lax.scan(
                     micro, (zero_grads, 0.0), (superbatch, keys))
             # failure detection: suppress the update when any micro loss is
-            # non-finite (a guard the reference lacks, SURVEY.md aux #3);
-            # zeroing the grads keeps optimizer-state updates benign too.
+            # non-finite (a guard the reference lacks, SURVEY.md aux #3).
+            # Zeroed grads alone would NOT suppress it -- adam still takes a
+            # momentum-only step and advances count/moments -- so the
+            # poisoned step keeps params AND optimizer state untouched.
             ok = jnp.isfinite(loss_sum)
-            grads = jax.tree_util.tree_map(
-                lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
             updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
-            new_state = TrainState(step=state.step + 1, params=new_params,
-                                   opt_state=new_opt)
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), new, old)
+            new_state = TrainState(step=state.step + 1,
+                                   params=keep(new_params, state.params),
+                                   opt_state=keep(new_opt, state.opt_state))
             return new_state, losses
 
         return train_step
@@ -229,16 +232,20 @@ class Trainer:
                 state, losses = self._train_step(state, sb, step_rng)
                 n_micro = int(np.shape(losses)[0])
                 n_steps += 1
-                lvals_chk = np.asarray(losses)
-                if not np.isfinite(lvals_chk).all():
-                    # the jitted step already suppressed the poisoned update
-                    log.warning("non-finite loss %s at step %d; update skipped",
-                                lvals_chk, n_steps)
                 prev_iter = self._micro_iter
                 self._micro_iter += n_micro
                 micro_iter = self._micro_iter
                 if n_steps % 5 == 0 or n_steps == 1:
+                    # ONE host pull per 5 steps: a per-step np.asarray would
+                    # add a blocking device->host round trip (~25 ms over
+                    # tunneled backends) to every step and serialize
+                    # dispatch with compute.  The jitted step itself already
+                    # suppressed any poisoned update on device; the host
+                    # check below is just the operator-facing warning.
                     lvals = np.asarray(losses)
+                    if not np.isfinite(lvals).all():
+                        log.warning("non-finite loss %s at step %d; update "
+                                    "was suppressed on device", lvals, n_steps)
                     self.loss_history.extend(float(x) for x in lvals)
                     self.loss_checked_iters.extend(range(prev_iter, micro_iter))
                     log.info("iter %d/%d loss %.4f", micro_iter,
@@ -318,7 +325,10 @@ class Trainer:
         }
         raw = ocp.StandardCheckpointer().restore(path, abstract)
         params = replicate(raw["params"], self.mesh)
-        opt_state = jax.tree_util.tree_map(jax.device_put, raw["opt_state"])
+        # opt_state must take init_state's fully-replicated layout too, or
+        # the first post-resume train step recompiles with divergent
+        # layouts (and multi-host meshes can't auto-reshard at all)
+        opt_state = replicate(raw["opt_state"], self.mesh)
         return TrainState(step=jnp.asarray(raw["step"], jnp.int32),
                           params=params, opt_state=opt_state)
 

@@ -308,3 +308,15 @@ def test_seq_bucketed_encode_matches_full(rng, tmp_path):
     for (xa, sa), (xb, sb) in zip(q_full, q_buck):
         np.testing.assert_allclose(sa, sb, rtol=1e-4)
         assert (np.abs(xa.astype(np.int32) - xb.astype(np.int32)) <= 1).all()
+
+
+def test_int_pids_survive_save_load(rng, tmp_path):
+    """JSON object keys stringify: integer paper ids must round-trip as
+    ints (pids.json ordered list) or gold-pool lookups miss every doc."""
+    reps, _ = make_corpus(rng, n_docs=6)
+    idx = build_dense_index(reps, pids=[101, 102, 103, 104, 105, 106],
+                            dtype=np.float32)
+    idx.save(tmp_path / "ip")
+    idx2 = DenseBucketIndex.load(tmp_path / "ip")
+    assert idx2.pids == [101, 102, 103, 104, 105, 106]
+    assert all(isinstance(p, int) for p in idx2.pids)

@@ -184,3 +184,37 @@ def test_sharded_search_rejects_k_over_n_docs(rng):
     mesh = make_serving_mesh(n_shards=8)
     with pytest.raises(ValueError, match="n_docs"):
         make_sharded_search(mesh, idx.n_docs, k=5)
+
+
+def test_int_pids_survive_save_load_flat(rng, tmp_path):
+    reps, _ = make_corpus(rng, n_docs=5)
+    idx = build_index_from_reps(reps, pids=[7, 8, 9, 10, 11])
+    idx.save(tmp_path / "ipf")
+    idx2 = MultiVecIndex.load(tmp_path / "ipf")
+    assert idx2.pids == [7, 8, 9, 10, 11]
+    assert all(isinstance(p, int) for p in idx2.pids)
+
+
+def test_shard_packer_never_strands_empty_shards(rng):
+    """One oversized doc must not leave empty shards behind it (every shard
+    pads to the max fill, so empties inflate memory for all)."""
+    reps = [rng.normal(size=(n, 16)).astype(np.float32)
+            for n in (10, 1, 1, 1)]
+    idx = build_index_from_reps(reps, pids=list("abcd"), n_shards=4)
+    # every shard holds at least one real doc
+    assert all((idx.doc_ids[s] >= 0).any() for s in range(4))
+
+
+def test_cls_search_marks_pad_rows(rng):
+    """k > n_docs: pad rows (+inf norms) come back as -1, not plausible
+    doc indices (the dense-path sentinel contract)."""
+    from aspire_tpu.index.cls import pack_cls_index, cls_search
+    import jax.numpy as jnp
+    cls = rng.normal(size=(5, 16)).astype(np.float32)
+    reps, norms = pack_cls_index(cls)
+    q = rng.normal(size=(16,)).astype(np.float32)
+    v, i = cls_search(jnp.asarray(q), jnp.asarray(reps), jnp.asarray(norms),
+                      k=12)
+    i = np.asarray(i)
+    assert set(i[i >= 0].tolist()) <= set(range(5))
+    assert (i[5:] == -1).all()

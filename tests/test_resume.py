@@ -133,3 +133,47 @@ def test_nan_guard_suppresses_update(tmp_path, rng):
     ln = np.asarray(new_p["bert"]["layer_0"]["attention_self"]["query"]["kernel"])
     old = np.asarray(bad["bert"]["layer_0"]["attention_self"]["query"]["kernel"])
     np.testing.assert_array_equal(ln, old)
+
+
+def test_nan_guard_suppresses_update_with_momentum(tmp_path, rng):
+    """The poisoned step must leave params AND optimizer state untouched
+    even when adam already carries momentum: zeroed grads alone would take
+    a momentum-only step and advance count/moments."""
+    cfg = RunConfig.from_dict(CFG)
+    model = build_model(cfg.model, BertConfig.tiny())
+    mesh = make_mesh(n_data=1)
+    tr = Trainer(model, cfg, str(tmp_path / "r"), mesh=mesh, early_stop=False)
+    state = tr.init_state(jax.random.key(0))
+    sbs = shard_batch(make_superbatch(rng), mesh, axis=1)
+    # one FINITE step builds nonzero momentum
+    state, losses = tr._train_step(state, sbs, jax.random.key(1))
+    assert np.isfinite(np.asarray(losses)).all()
+    p1 = jax.device_get(state.params)
+    o1 = jax.device_get(state.opt_state)
+    # poison the batch so the loss goes non-finite without touching params
+    bad_sb = jax.tree_util.tree_map(lambda x: x, make_superbatch(rng))
+    import dataclasses
+    poisoned = shard_batch(bad_sb, mesh, axis=1)
+    # inf loss via an inf alignment-free route: scale a params copy is the
+    # established trick -- here poison the step by making every query rep
+    # inf through inf embeddings in a params copy
+    bad = jax.device_get(state.params)
+    bad["bert"]["embeddings"]["word_embeddings"]["embedding"] = (
+        np.asarray(bad["bert"]["embeddings"]["word_embeddings"]["embedding"])
+        * np.inf)
+    from aspire_tpu.train.trainer import TrainState
+    state_bad = TrainState(step=state.step,
+                           params=jax.tree_util.tree_map(jnp.asarray, bad),
+                           opt_state=state.opt_state)
+    new_state, losses = tr._train_step(state_bad, poisoned, jax.random.key(2))
+    assert not np.isfinite(np.asarray(losses)).all()
+    newp = jax.device_get(new_state.params)
+    newo = jax.device_get(new_state.opt_state)
+    # every param leaf identical to its pre-step value, incl. the poisoned
+    # embedding table (no momentum step), and optimizer state frozen
+    for a, b in zip(jax.tree_util.tree_leaves(newp),
+                    jax.tree_util.tree_leaves(bad)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(newo),
+                    jax.tree_util.tree_leaves(o1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
