@@ -39,9 +39,16 @@ def _fb_to_dict(fb: FeatureBatch) -> dict:
 
 
 def _featurize(texts: list[dict], tokenizer, hp: ModelHParams, seq_len: int,
-               align_type: str | None = None) -> dict:
-    fb = prepare_abstracts(texts, tokenizer, max_sents=hp.max_sents,
-                           seq_len=seq_len)
+               align_type: str | None = None, docs=None) -> dict:
+    """Pack one micro batch; `docs` supplies pre-tokenized TokenizedDocs
+    (the bucketed path tokenizes once to measure lengths)."""
+    if docs is None:
+        fb = prepare_abstracts(texts, tokenizer, max_sents=hp.max_sents,
+                               seq_len=seq_len)
+    else:
+        from ..text.tokenize import features_to_arrays
+        fb = features_to_arrays(docs, pad_id=tokenizer.pad_token_id,
+                                max_sents=hp.max_sents, seq_len=seq_len)
     out = _fb_to_dict(fb)
     if align_type is not None and all(align_type in t for t in texts):
         out["align"] = np.asarray([t[align_type] for t in texts], np.int32)
@@ -108,25 +115,21 @@ class TripleStream:
         it), so bucket selection reuses the same TokenizedDocs the arrays
         are packed from.  The truncation cap is the largest bucket, so the
         longest doc always fits it."""
-        from ..text.tokenize import tokenize_abstracts, features_to_arrays
-        cap = self.seq_buckets[-1] - 2           # [CLS] + content + [SEP]
+        from ..text.tokenize import tokenize_abstracts, MAX_NUM_TOKS
+        # same truncation the non-bucketed path applies (prepare_abstracts
+        # clamps to min(MAX_NUM_TOKS, seq_len-2)): the buckets must change
+        # only the PADDING, never which tokens a doc trains on
+        cap = min(MAX_NUM_TOKS, self.seq_buckets[-1] - 2)
         qd = tokenize_abstracts(queries, self.tokenizer, max_num_toks=cap)
         pd = tokenize_abstracts(positives, self.tokenizer, max_num_toks=cap)
         longest = max(len(t.token_ids) for t in qd + pd)
         bucket = next(b for b in self.seq_buckets if longest <= b)
-
-        def pack(docs, texts, align_type=None):
-            fb = features_to_arrays(docs, pad_id=self.tokenizer.pad_token_id,
-                                    max_sents=self.hp.max_sents,
-                                    seq_len=bucket)
-            out = _fb_to_dict(fb)
-            if align_type is not None and all(align_type in t for t in texts):
-                out["align"] = np.asarray([t[align_type] for t in texts],
-                                          np.int32)
-            return out
-
-        return bucket, {"query": pack(qd, queries),
-                        "pos": pack(pd, positives, self.align_type)}
+        return bucket, {
+            "query": _featurize(queries, self.tokenizer, self.hp, bucket,
+                                docs=qd),
+            "pos": _featurize(positives, self.tokenizer, self.hp, bucket,
+                              self.align_type, docs=pd),
+        }
 
     def __iter__(self) -> Iterator[dict]:
         by_bucket: dict[int, list[dict]] = {}

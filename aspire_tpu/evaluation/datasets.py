@@ -11,9 +11,18 @@ from __future__ import annotations
 
 import codecs
 import json
+import logging
 import os
 
+log = logging.getLogger(__name__)
+
 FACETS = ("background", "method", "result")
+
+# reference datasets that ship an evaluation_splits.json (ranking_eval.py
+# reads one for each; csfcube uses folds instead)
+_SPLIT_FILE_DATASETS = frozenset(
+    {"relish", "treccovid", "scidcite", "scidcocite", "scidcoread",
+     "scidcoview"})
 
 
 class EvalDataset:
@@ -77,8 +86,17 @@ class EvalDataset:
             return None  # whole dataset is test; folds handle dev/test
         fname = os.path.join(self.root_path, f"{self.name}-evaluation_splits.json")
         if not os.path.exists(fname):
+            if self.name in _SPLIT_FILE_DATASETS:
+                # these reference datasets SHIP a split file; a missing one
+                # means a wrong root_path, and a silent plain-mean fallback
+                # would report protocol-breaking aggregates that look valid
+                raise FileNotFoundError(
+                    f"{fname} missing: {self.name} is evaluated with a "
+                    "dev/test split file (check --root-path)")
             # ad-hoc/plugin datasets without a split file aggregate as one
             # test split (the documented plain-mean path)
+            log.warning("no %s; aggregating %s as a single plain-mean "
+                        "'test' split", os.path.basename(fname), self.name)
             return None
         with codecs.open(fname, "r", "utf-8") as f:
             return json.load(f)

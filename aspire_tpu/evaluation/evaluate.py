@@ -125,8 +125,11 @@ def run_evaluation(model: SimilarityModel, dataset: EvalDataset,
                          "all three")
     # the cache serves BOTH the encode and score actions (the reference
     # attaches it for either, evaluate.py:186): a score-only run must read
-    # the previously built encodings, not silently re-encode per query
-    if cache_path is not None:
+    # the previously built encodings, not silently re-encode per query.
+    # Attach only when no cache is open yet: re-attaching over a live h5
+    # handle trips HDF5's same-process write lock, and the open-'w'
+    # fallback would then TRUNCATE every cached encoding.
+    if cache_path is not None and model.cache is None:
         model.set_encodings_cache(cache_path)
     out = {}
     if "encode" in actions:

@@ -79,10 +79,20 @@ class SimilarityModel(metaclass=ABCMeta):
     # ---- encodings cache (h5py contract, utils/models.py:68-122) ----
     def set_encodings_cache(self, cache_filename: str):
         import h5py
+        if self.cache is not None:
+            # close the live handle first: a second same-process open of the
+            # same file trips HDF5's write lock, and the 'w' fallback below
+            # would then truncate every cached encoding
+            try:
+                self.cache.close()
+            except Exception:
+                pass
+            self.cache = None
         try:
             self.cache = h5py.File(cache_filename, "a")
         except Exception:
-            log.info("could not open encodings cache %s; overwriting", cache_filename)
+            log.warning("could not open encodings cache %s; OVERWRITING it",
+                        cache_filename)
             self.cache = h5py.File(cache_filename, "w")
 
     def cache_encodings(self, batch_pids, batch_papers):

@@ -28,6 +28,34 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def save_pids(path: pathlib.Path, pids: list) -> None:
+    """Persist the doc-idx -> paper-id map (shared by both index types).
+
+    pid2idx.json keeps the reference file contract
+    (pre_proc_buildreps.py:309-439), but JSON object KEYS are always
+    strings -- integer paper ids would silently load back as strings and
+    miss every gold-pool lookup.  The ordered pids.json list preserves
+    types and is preferred on load."""
+    with open(path / "pid2idx.json", "w") as f:
+        json.dump({pid: i for i, pid in enumerate(pids)}, f)
+    with open(path / "pids.json", "w") as f:
+        json.dump(list(pids), f)
+
+
+def load_pids(path: pathlib.Path) -> list:
+    """Inverse of save_pids; falls back to pid2idx.json for old indexes."""
+    pids_path = path / "pids.json"
+    if pids_path.exists():
+        with open(pids_path) as f:
+            return json.load(f)
+    with open(path / "pid2idx.json") as f:
+        pid2idx = json.load(f)
+    pids = [None] * len(pid2idx)
+    for pid, i in pid2idx.items():
+        pids[i] = pid
+    return pids
+
+
 @dataclasses.dataclass
 class MultiVecIndex:
     """Host-side index representation (device placement via `shard`)."""
@@ -62,11 +90,7 @@ class MultiVecIndex:
         np.save(path / "sents.npy", sents)
         np.save(path / "doc_ids.npy", self.doc_ids)
         np.save(path / "doc_lens.npy", self.doc_lens)
-        with open(path / "pid2idx.json", "w") as f:
-            json.dump({pid: i for i, pid in enumerate(self.pids)}, f)
-        # type-preserving pid list (JSON object keys stringify int ids)
-        with open(path / "pids.json", "w") as f:
-            json.dump(list(self.pids), f)
+        save_pids(path, self.pids)
         with open(path / "meta.json", "w") as f:
             json.dump(meta, f)
 
@@ -81,16 +105,7 @@ class MultiVecIndex:
             if "bfloat16" in meta.get("sent_dtype", ""):
                 import ml_dtypes
                 sents = sents.view(ml_dtypes.bfloat16)
-        pids_path = path / "pids.json"
-        if pids_path.exists():  # type-preserving ordered list (see save)
-            with open(pids_path) as f:
-                pids = json.load(f)
-        else:
-            with open(path / "pid2idx.json") as f:
-                pid2idx = json.load(f)
-            pids = [None] * len(pid2idx)
-            for pid, i in pid2idx.items():
-                pids[i] = pid
+        pids = load_pids(path)
         return cls(sents=sents, doc_ids=np.load(path / "doc_ids.npy"),
                    doc_lens=np.load(path / "doc_lens.npy"), pids=pids,
                    dtype=sents.dtype)

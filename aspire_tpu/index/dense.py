@@ -102,14 +102,8 @@ class DenseBucketIndex:
             if "scales" in b:
                 np.save(path / f"bucket{i}_scales.npy", b["scales"])
         np.save(path / "doc_lens.npy", self.doc_lens)
-        with open(path / "pid2idx.json", "w") as f:
-            json.dump({pid: i for i, pid in enumerate(self.pids)}, f)
-        # pid2idx.json keeps the reference file contract, but JSON object
-        # KEYS are always strings -- integer paper ids would silently load
-        # back as strings and miss every gold-pool lookup.  The ordered list
-        # preserves types and is preferred on load.
-        with open(path / "pids.json", "w") as f:
-            json.dump(list(self.pids), f)
+        from .build import save_pids
+        save_pids(path, self.pids)
         with open(path / "meta.json", "w") as f:
             json.dump({"n_buckets": len(self.buckets),
                        "sent_dtype": sent_dtype}, f)
@@ -140,16 +134,8 @@ class DenseBucketIndex:
             if scales_path.exists():
                 b["scales"] = np.load(scales_path)
             buckets.append(b)
-        pids_path = path / "pids.json"
-        if pids_path.exists():  # type-preserving ordered list (see save)
-            with open(pids_path) as f:
-                pids = json.load(f)
-        else:
-            with open(path / "pid2idx.json") as f:
-                pid2idx = json.load(f)
-            pids = [None] * len(pid2idx)
-            for pid, i in pid2idx.items():
-                pids[i] = pid
+        from .build import load_pids
+        pids = load_pids(path)
         idx = cls(buckets=buckets, doc_lens=np.load(path / "doc_lens.npy"),
                   pids=pids)
         idx._ensure_doc_pos()

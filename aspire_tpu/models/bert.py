@@ -56,6 +56,12 @@ class BertEmbeddings(nn.Module):
     def __call__(self, input_ids, token_type_ids, deterministic=True):
         cfg = self.config
         seq_len = input_ids.shape[1]
+        # trace-time guard: an over-long sequence would gather out of the
+        # position table's bounds, which XLA CLAMPS -- downstream losses go
+        # silently wrong (or NaN) instead of erroring
+        assert seq_len <= cfg.max_position_embeddings, (
+            f"seq_len {seq_len} exceeds max_position_embeddings "
+            f"{cfg.max_position_embeddings}")
         word = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="word_embeddings",
                         dtype=self.dtype, param_dtype=jnp.float32)(input_ids)
         pos_ids = jnp.arange(seq_len, dtype=jnp.int32)[None, :]

@@ -13,21 +13,19 @@ import numpy as np
 import jax
 
 
-_LOSS_JIT_CACHE: dict = {}
-
-
 def batched_loss(model, params, batches: Iterator, rng=None) -> float:
     """Sum of deterministic losses over a dev batch stream."""
     key = rng if rng is not None else jax.random.key(0)
     import jax.numpy as jnp
 
-    # cache the jitted step per model: a fresh inner function each call
+    # cache the jitted step ON the model: a fresh inner function each call
     # would retrace (and without the persistent cache, recompile) the full
-    # dev-loss program on every early-stop check
-    one = _LOSS_JIT_CACHE.get(id(model))
+    # dev-loss program on every early-stop check; an id()-keyed module
+    # cache would pin every model evaluated in the process forever
+    one = getattr(model, "_jitted_dev_loss", None)
     if one is None:
         one = jax.jit(lambda p, b, k: model.train_loss(p, b, k, False))
-        _LOSS_JIT_CACHE[id(model)] = one
+        model._jitted_dev_loss = one
 
     total = 0.0
     for batch in batches:

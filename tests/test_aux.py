@@ -181,3 +181,31 @@ def test_bucketed_stream(tmp_path, rng):
     assert seqs2 == [16, 64]
     # all full superbatches consumed: 24 examples / (2*2) = 6 superbatches
     assert len(batches2) == 6
+
+
+def test_bucketed_truncation_matches_unbucketed(tmp_path, rng):
+    """--seq-buckets must change only the padding, never which tokens a doc
+    trains on: a doc past the 500-token reference cap (MAX_NUM_TOKS) must
+    truncate identically in bucketed and non-bucketed streams."""
+    from aspire_tpu.data.readers import TripleStream
+    from aspire_tpu.core.config import ModelHParams
+    from transformers import BertTokenizer
+    words = ["a", "b", "c", "d"]
+    (tmp_path / "v3.txt").write_text("\n".join(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "title"] + words))
+    tok = BertTokenizer(str(tmp_path / "v3.txt"))
+    import json as _json
+    # 3 sentences x 200 words = 600 content tokens > the 500-token cap
+    d = {"TITLE": "title",
+         "ABSTRACT": [" ".join(rng.choice(words, 200)) for _ in range(3)]}
+    with open(tmp_path / "long.jsonl", "w") as f:
+        for _ in range(2):
+            f.write(_json.dumps({"query": d, "pos_context": d}) + "\n")
+    hp = ModelHParams(max_sents=4)
+    kw = dict(micro_batch=2, n_micro=1)
+    plain = next(iter(TripleStream(str(tmp_path / "long.jsonl"), tok, hp,
+                                   seq_len=512, **kw)))
+    bucketed = next(iter(TripleStream(str(tmp_path / "long.jsonl"), tok, hp,
+                                      seq_buckets=(128, 512), **kw)))
+    for k in ("token_ids", "attn_mask", "sent_ids", "abs_lens"):
+        np.testing.assert_array_equal(plain["query"][k], bucketed["query"][k])

@@ -210,3 +210,45 @@ def test_faceted_ner_encoding_survives_truncation(tok, rng):
     # method rows: sentences 1,2 kept; entity rows (global ids 4,5,6) all
     # truncated away -> only the two sentence rows survive
     np.testing.assert_array_equal(got, enc[[1, 2]])
+
+
+def test_rerun_evaluation_preserves_cache(tmp_path, tok, rng):
+    """Two run_evaluation calls on the SAME model + cache: the second must
+    not re-attach over the live h5 handle (HDF5 same-process locking would
+    trip the open-'w' fallback and truncate every cached encoding)."""
+    import h5py
+    make_dataset(tmp_path, rng, n_queries=2, n_cands=4)
+    ds = EvalDataset("toy", str(tmp_path))
+    from aspire_tpu.models.encoders import ConSentEncoder
+    cfg = BertConfig.tiny()
+    params = ConSentEncoder(cfg, max_sents=6).init(
+        jax.random.key(0), *(np.zeros((1, 8), np.int32),) * 3)["params"]
+    enc = AspireSimilarityModel(name="m", bert_config=cfg, params=params,
+                                tokenizer=tok, agg="l2max", max_sents=6)
+    cache = str(tmp_path / "c.h5")
+    run_evaluation(enc, ds, str(tmp_path / "r1"), actions=("encode",),
+                   cache_path=cache)
+    n1 = len(enc.cache.keys())
+    assert n1 > 0
+    run_evaluation(enc, ds, str(tmp_path / "r2"), actions=("encode",),
+                   cache_path=cache)
+    assert len(enc.cache.keys()) == n1
+    enc.cache.close()
+    enc.cache = None
+    with h5py.File(cache, "r") as f:     # survived on disk too
+        assert len(f.keys()) == n1
+
+
+def test_missing_split_file(tmp_path, rng):
+    """Reference datasets that ship evaluation_splits.json must FAIL when
+    it's absent (wrong --root-path), not silently aggregate plain-mean;
+    ad-hoc datasets keep the documented fallback."""
+    make_dataset(tmp_path, rng, n_queries=2, n_cands=4, name="relish")
+    import os
+    os.remove(tmp_path / "relish-evaluation_splits.json")
+    ds = EvalDataset("relish", str(tmp_path))
+    with pytest.raises(FileNotFoundError, match="root-path"):
+        ds.get_test_dev_split()
+    make_dataset(tmp_path, rng, n_queries=2, n_cands=4, name="adhoc")
+    os.remove(tmp_path / "adhoc-evaluation_splits.json")
+    assert EvalDataset("adhoc", str(tmp_path)).get_test_dev_split() is None
