@@ -142,6 +142,11 @@ def cmd_build_index(args):
     from .index.dense import build_dense_index, build_dense_index_prequantized
 
     import jax.numpy as jnp
+
+    if args.family == "cls":
+        _build_cls_index_cmd(args)
+        return
+
     mkw = {"compute_dtype": jnp.bfloat16} if args.bf16_compute else {}
     if args.seq_buckets:
         mkw["seq_buckets"] = tuple(
@@ -191,6 +196,46 @@ def cmd_build_index(args):
           f"{args.n_shards} shards) -> {args.out}")
 
 
+def _build_cls_index_cmd(args):
+    """build-index --family cls: whole-abstract bi-encoder corpus index.
+
+    One CLS vector per doc (reference buildreps 'cospecter' path,
+    pre_proc_buildreps.py:309-439); served by `rank` via ClsIndex."""
+    import numpy as np
+    from transformers import AutoTokenizer
+
+    from .data.readers import read_jsonl
+    from .evaluation.models import ClsSimilarityModel, get_model
+    from .index.cls import build_cls_index
+
+    if args.int8 or args.seq_buckets or args.bf16_compute:
+        raise ValueError("--int8/--seq-buckets/--bf16-compute are "
+                         "multi-vector options; the CLS family supports "
+                         "--bf16 storage only")
+    if args.run_dir:
+        model = get_model("cospecter", trained_model_path=args.run_dir,
+                          tokenizer=AutoTokenizer.from_pretrained(args.tokenizer),
+                          batch_size=args.batch_size)
+    else:
+        model = ClsSimilarityModel.from_hf_dir("index-encoder",
+                                               args.weights_dir,
+                                               batch_size=args.batch_size)
+    corpus, pids = [], []
+    for rec in read_jsonl(args.corpus):
+        pids.append(rec["paper_id"])
+        corpus.append({"TITLE": rec["title"], "ABSTRACT": rec["abstract"]})
+    reps = []
+    for i in range(0, len(corpus), args.batch_size):
+        reps.extend(model.encode(corpus[i:i + args.batch_size]))
+        if i and (i // args.batch_size) % 20 == 0:
+            logging.info("encoded %d/%d docs", i + args.batch_size, len(corpus))
+    import ml_dtypes
+    dtype = ml_dtypes.bfloat16 if args.bf16 else np.float32
+    idx = build_cls_index(np.stack(reps), pids, dtype=dtype)
+    idx.save(args.out)
+    print(f"indexed {idx.n_docs} docs (cls) -> {args.out}")
+
+
 def _resolve_ot_solver(name: str) -> str:
     """'auto' -> pallas on TPU, xla elsewhere (interpret-mode pallas off-TPU
     is orders of magnitude slower and deviates ~2e-3 from parity)."""
@@ -220,7 +265,8 @@ def cmd_rank(args):
     from .evaluation.ranking_eval import print_pool_neighbours
 
     args.ot_solver = _resolve_ot_solver(args.ot_solver)
-    idx = DenseBucketIndex.load(args.index)
+    with open(os.path.join(args.index, "meta.json")) as f:
+        index_type = json.load(f).get("index_type", "multivec")
     dataset = EvalDataset(args.dataset, args.dataset_dir)
     model = _load_eval_model(args)
     if args.cache:
@@ -229,6 +275,38 @@ def cmd_rank(args):
     if args.n_shards > 1:
         from .parallel.mesh import make_serving_mesh
         mesh = make_serving_mesh(n_shards=args.n_shards)
+
+    if index_type == "cls":
+        # whole-abstract bi-encoder corpus (reference CLS ranking,
+        # pp_gen_nearest.py:638-726): one vector per doc, no facets (the
+        # reference facets only sentence-rep models) and nothing to rerank
+        if args.facet:
+            raise ValueError("a CLS index holds one whole-abstract vector "
+                             "per doc; faceted ranking needs a multi-vector "
+                             "index")
+        if args.rerank == "ot":
+            raise ValueError("OT rerank needs sentence reps; a CLS index "
+                             "ranks by whole-abstract L2 only")
+        from .index.cls import ClsIndex, make_cls_search_batched
+        idx = ClsIndex.load(args.index)
+        pool = dataset.get_test_pool()
+        qpids = list(pool)
+        q_encs = model.get_encoding(qpids, dataset)
+        q_arr = np.stack([np.asarray(q_encs[q], np.float32).reshape(-1)
+                          for q in qpids])
+        reps, norms = idx.device_arrays(mesh)
+        search = make_cls_search_batched(k=args.k, mesh=mesh)
+        scores, docs = search(jnp.asarray(q_arr), reps, norms)
+        scores, docs = np.asarray(scores), np.asarray(docs)
+        ranked = {}
+        for i, qpid in enumerate(qpids):
+            real = docs[i] >= 0
+            ranked[qpid] = [[idx.pids[d], float(s)]
+                            for d, s in zip(docs[i][real], scores[i][real])]
+        _write_rank_outputs(args, dataset, ranked)
+        return
+
+    idx = DenseBucketIndex.load(args.index)
     dev = idx.device_arrays(mesh)
     flat = flatten_device_buckets(dev)
     pool = dataset.get_test_pool(facet=args.facet)
@@ -290,6 +368,12 @@ def cmd_rank(args):
             scores_i = scores[i][real]  # wrong scores if a pad ever sorted
             ranked[qpid] = [[idx.pids[d], float(s)]  # before a real hit
                             for d, s in zip(docs_i, scores_i)]
+    _write_rank_outputs(args, dataset, ranked)
+
+
+def _write_rank_outputs(args, dataset, ranked: dict) -> None:
+    """Ranked-pool json + readable neighbour dumps (pp_gen_nearest.py:575-635)."""
+    from .evaluation.ranking_eval import print_pool_neighbours
     os.makedirs(args.out, exist_ok=True)
     suffix = f"-{args.facet}" if args.facet else ""
     fname = os.path.join(
@@ -297,7 +381,6 @@ def cmd_rank(args):
     with open(fname, "w") as f:
         json.dump(ranked, f)
     if not args.no_dumps:
-        # human-readable per-query neighbour files (pp_gen_nearest.py:575-635)
         print_pool_neighbours(dataset, ranked,
                               os.path.join(args.out, f"neighbours{suffix}"),
                               top_k=args.dump_k)
@@ -398,6 +481,11 @@ def build_parser():
     b.add_argument("--run-dir")
     b.add_argument("--weights-dir")
     b.add_argument("--tokenizer")
+    b.add_argument("--family", choices=["multivec", "cls"],
+                   default="multivec",
+                   help="multivec: sentence reps (aspire models); cls: one "
+                        "whole-abstract vector per doc (specter/cospecter "
+                        "bi-encoders)")
     b.add_argument("--n-shards", type=int, default=1)
     b.add_argument("--batch-size", type=int, default=32)
     b.add_argument("--bf16", action="store_true")

@@ -2,11 +2,18 @@
 
 The bi-encoder models (cospecter/specter) rank with a single CLS vector per
 document; the reference does this with sklearn brute NearestNeighbors on
-host numpy (pp_gen_nearest.py:638-726).  Here: one [1, d] x [d, n] matmul +
+host numpy (pp_gen_nearest.py:638-726).  Here: one [B, d] x [d, n] matmul +
 top-k on device, sharded over the `shard` mesh axis with an all_gather merge.
+
+`ClsIndex` persists a corpus of CLS reps with the same file contract as the
+multi-vector indexes (npy blocks + pids.json/pid2idx.json) so `build-index
+--family cls` / `rank` serve bi-encoder corpora end-to-end.
 """
 from __future__ import annotations
 
+import dataclasses
+import json
+import pathlib
 from functools import partial
 
 import numpy as np
@@ -15,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
+
+from .build import save_pids, load_pids
 
 
 def pack_cls_index(cls_reps: np.ndarray, n_shards: int = 1, dtype=None):
@@ -46,6 +55,122 @@ def cls_search(q: jax.Array, reps: jax.Array, norms: jax.Array, k: int):
     # k > n_docs can't surface a pad row as a plausible doc index
     i = jnp.where(jnp.isneginf(v), -1, i)
     return -jnp.sqrt(jnp.maximum(-v, 0.0)), i
+
+
+def _batched_scores(q: jax.Array, reps: jax.Array, norms: jax.Array, k: int):
+    """[B, d] queries vs [L, d] reps -> local (neg-sq-L2 top-k, indices)."""
+    qf = q.astype(jnp.float32)
+    sims = jnp.einsum("bd,nd->bn", q.astype(reps.dtype), reps,
+                      preferred_element_type=jnp.float32)
+    score = 2.0 * sims - norms[None, :] - jnp.sum(qf * qf, axis=1)[:, None]
+    return jax.lax.top_k(score, k)
+
+
+def make_cls_search_batched(k: int, mesh: Mesh | None = None):
+    """Batched CLS search: fn(q [B, d], reps [n_pad, d], norms [n_pad]) ->
+    (scores [B, k], doc idx [B, k]; -1 at pad slots).
+
+    mesh: reps/norms sharded over `shard` on axis 0 (row = global doc
+    index; ClsIndex pads to a 128-multiple so any mesh up to 128 ways
+    divides it); per-shard top-k + one all_gather of [B, k] blocks merges
+    over ICI (the dense path's shape).  Unlike the multi-vector indexes,
+    pad slots are dedicated +inf-norm ROWS, so a k > n_docs pool can never
+    surface duplicate real docs -- pads come back as -1.
+    """
+    if mesh is None:
+        @jax.jit
+        def single(q, reps, norms):
+            v, i = _batched_scores(q, reps, norms, k)
+            idx = jnp.where(jnp.isneginf(v), -1, i)
+            return -jnp.sqrt(jnp.maximum(-v, 0.0)), idx
+        return single
+
+    def _local(q, reps, norms):
+        # block-local views: reps [L/n_shards, d]
+        v, i = _batched_scores(q, reps, norms, k)
+        i = i + jax.lax.axis_index("shard") * reps.shape[0]
+        v_all = jax.lax.all_gather(v, "shard", axis=1, tiled=True)
+        i_all = jax.lax.all_gather(i, "shard", axis=1, tiled=True)
+        vk, pos = jax.lax.top_k(v_all, k)
+        idx = jnp.where(jnp.isneginf(vk), -1,
+                        jnp.take_along_axis(i_all, pos, axis=1))
+        return -jnp.sqrt(jnp.maximum(-vk, 0.0)), idx
+
+    fn = shard_map(_local, mesh=mesh,
+                   in_specs=(P(), P("shard"), P("shard")),
+                   out_specs=(P(), P()), check_vma=False)
+    return jax.jit(fn)
+
+
+@dataclasses.dataclass
+class ClsIndex:
+    """Host-side CLS-rep corpus index (one vector per document).
+
+    Serves the reference's bi-encoder ranking corpora
+    (pp_gen_nearest.py:638-726) with the multi-vector indexes' persistence
+    contract.  Row = global doc index; +inf-norm pad rows at the tail never
+    rank.  The row count pads to a 128-multiple, so the SERVING shard count
+    is chosen at load time (any mesh whose size divides it), like the dense
+    buckets.
+    """
+
+    reps: np.ndarray     # [n_pad, d] storage dtype
+    norms: np.ndarray    # [n_pad] f32; +inf on pad rows
+    pids: list
+
+    @property
+    def n_docs(self) -> int:
+        return len(self.pids)
+
+    @property
+    def dim(self) -> int:
+        return self.reps.shape[-1]
+
+    def save(self, path: str | pathlib.Path) -> None:
+        path = pathlib.Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        reps = self.reps
+        meta = {"index_type": "cls", "rep_dtype": str(np.dtype(reps.dtype))}
+        if "bfloat16" in meta["rep_dtype"]:
+            reps = reps.view(np.uint16)   # np.save voids bfloat16
+        np.save(path / "cls_reps.npy", reps)
+        np.save(path / "cls_norms.npy", self.norms)
+        save_pids(path, self.pids)
+        with open(path / "meta.json", "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, path: str | pathlib.Path) -> "ClsIndex":
+        path = pathlib.Path(path)
+        with open(path / "meta.json") as f:
+            meta = json.load(f)
+        reps = np.load(path / "cls_reps.npy")
+        if "bfloat16" in meta.get("rep_dtype", ""):
+            import ml_dtypes
+            reps = reps.view(ml_dtypes.bfloat16)
+        return cls(reps=reps, norms=np.load(path / "cls_norms.npy"),
+                   pids=load_pids(path))
+
+    def device_arrays(self, mesh: Mesh | None = None):
+        """(reps, norms) on the serving mesh, sharded over axis 0."""
+        if mesh is None:
+            put = jnp.asarray
+        else:
+            sh = NamedSharding(mesh, P("shard"))
+            put = lambda x: jax.device_put(x, sh)
+        return put(self.reps), put(self.norms)
+
+
+def build_cls_index(cls_reps: np.ndarray, pids: list,
+                    dtype=None) -> ClsIndex:
+    """[n, d] CLS reps -> persisted/servable ClsIndex (default bf16 storage;
+    norms always f32 from the stored values so search scores match what the
+    storage dtype can express).  Rows pad to a 128-multiple -- the serving
+    shard count is a load-time choice, not a build parameter."""
+    assert len(cls_reps) == len(pids)
+    reps, norms = pack_cls_index(np.asarray(cls_reps), n_shards=1,
+                                 dtype=dtype)
+    return ClsIndex(reps=reps, norms=norms, pids=list(pids))
 
 
 def make_sharded_cls_search(mesh: Mesh, k: int):

@@ -127,3 +127,87 @@ def test_build_index_and_rank(tmp_path, rng):
                           "test-pid2pool-toy-miswordbienc-ranked.json").read_text())
     for qpid, cands in ranked8.items():
         assert {c for c, _ in cands[:2]} == {f"{qpid}c0", f"{qpid}c1"}
+
+
+def test_build_index_and_rank_cls_family(tmp_path, rng):
+    """build-index --family cls + rank on a trained cospecter bi-encoder:
+    the whole-abstract CLS serving path (reference pp_gen_nearest.py:638-726)."""
+    vocab_dir = tmp_path / "vb"
+    vocab_dir.mkdir()
+    (vocab_dir / "vocab.txt").write_text(
+        "\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "title"] + WORDS))
+    (vocab_dir / "tokenizer_config.json").write_text(
+        json.dumps({"tokenizer_class": "BertTokenizer", "do_lower_case": True}))
+
+    def doc():
+        return {"TITLE": "title", "ABSTRACT": [
+            " ".join(rng.choice(WORDS, 4)) for _ in range(int(rng.integers(1, 4)))]}
+    with open(tmp_path / "train.jsonl", "w") as f:
+        for _ in range(16):
+            f.write(json.dumps({"query": doc(), "pos_context": doc()}) + "\n")
+    cfg = {"model_name": "cospecter", "score_aggregation": "l2max",
+           "train_size": 16, "batch_size": 8, "accumulated_batch_size": -1,
+           "num_epochs": 1, "learning_rate": 1e-4, "num_warmup_steps": 2,
+           "lr_decay_method": "warmuplin", "es_check_every": 100,
+           "max_sents": 4, "update_rule": "adam", "decay_lr_every": 1,
+           "base-pt-layer": str(vocab_dir)}
+    (tmp_path / "cfg.json").write_text(json.dumps(cfg))
+    r = run_cli(["train", "--config", str(tmp_path / "cfg.json"),
+                 "--train", str(tmp_path / "train.jsonl"),
+                 "--out", str(tmp_path / "run"), "--tokenizer", str(vocab_dir),
+                 "--tiny", "--seq-len", "32"], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    from tests_evalds import make_eval_dataset
+    papers, anns = make_eval_dataset(tmp_path, rng, WORDS)
+    with open(tmp_path / "corpus.jsonl", "w") as f:
+        for pid, p in papers.items():
+            if not pid.startswith("q") or "c" in pid:
+                f.write(json.dumps({"paper_id": pid, **p}) + "\n")
+
+    r2 = run_cli(["build-index", "--family", "cls",
+                  "--corpus", str(tmp_path / "corpus.jsonl"),
+                  "--run-dir", str(tmp_path / "run"),
+                  "--tokenizer", str(vocab_dir),
+                  "--out", str(tmp_path / "cidx")], cwd=str(tmp_path))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    meta = json.loads((tmp_path / "cidx" / "meta.json").read_text())
+    assert meta["index_type"] == "cls"
+
+    r3 = run_cli(["rank", "--index", str(tmp_path / "cidx"),
+                  "--dataset", "toy", "--dataset-dir", str(tmp_path),
+                  "--model", "cospecter", "--run-dir", str(tmp_path / "run"),
+                  "--tokenizer", str(vocab_dir),
+                  "--out", str(tmp_path / "cranked"), "--k", "8"],
+                 cwd=str(tmp_path))
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    ranked = json.loads((tmp_path / "cranked" /
+                         "test-pid2pool-toy-cospecter-ranked.json").read_text())
+    # near-copy candidates share the query's exact text -> identical CLS
+    # reps -> they must rank at the top even for a barely-trained encoder
+    for qpid, cands in ranked.items():
+        assert {c for c, _ in cands[:2]} == {f"{qpid}c0", f"{qpid}c1"}, cands[:4]
+        assert (tmp_path / "cranked" / "neighbours" /
+                f"{qpid}-neighbours.txt").exists()
+
+    # sharded serving: identical rankings
+    r4 = run_cli(["rank", "--index", str(tmp_path / "cidx"),
+                  "--dataset", "toy", "--dataset-dir", str(tmp_path),
+                  "--model", "cospecter", "--run-dir", str(tmp_path / "run"),
+                  "--tokenizer", str(vocab_dir), "--n-shards", "8",
+                  "--out", str(tmp_path / "cranked_sh"), "--k", "8",
+                  "--no-dumps"], cwd=str(tmp_path))
+    assert r4.returncode == 0, r4.stderr[-2000:]
+    ranked_sh = json.loads((tmp_path / "cranked_sh" /
+                            "test-pid2pool-toy-cospecter-ranked.json").read_text())
+    assert {q: [c for c, _ in v] for q, v in ranked.items()} == \
+           {q: [c for c, _ in v] for q, v in ranked_sh.items()}
+
+    # OT rerank and facets need sentence reps: refuse loudly on a CLS index
+    r5 = run_cli(["rank", "--index", str(tmp_path / "cidx"),
+                  "--dataset", "toy", "--dataset-dir", str(tmp_path),
+                  "--model", "cospecter", "--run-dir", str(tmp_path / "run"),
+                  "--tokenizer", str(vocab_dir),
+                  "--out", str(tmp_path / "cx"), "--rerank", "ot"],
+                 cwd=str(tmp_path))
+    assert r5.returncode != 0 and "CLS index" in r5.stderr

@@ -1,0 +1,84 @@
+"""ClsIndex (whole-abstract bi-encoder corpus) build/persist/search.
+
+Mirrors the reference's CLS ranking semantics (pp_gen_nearest.py:638-726):
+-L2 between one query vector and one vector per doc.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aspire_tpu.index.cls import (ClsIndex, build_cls_index,
+                                  make_cls_search_batched)
+from aspire_tpu.parallel.mesh import make_serving_mesh
+
+
+def _oracle_topk(q, reps, k):
+    d = -np.linalg.norm(reps[None] - q[:, None], axis=-1)   # [B, n]
+    idx = np.argsort(-d, axis=1)[:, :k]
+    return np.take_along_axis(d, idx, axis=1), idx
+
+
+def test_cls_index_roundtrip_and_search(rng, tmp_path):
+    n, dim, k = 37, 16, 5
+    reps = rng.normal(size=(n, dim)).astype(np.float32)
+    pids = [int(100 + i) for i in range(n)]
+    idx = build_cls_index(reps, pids, dtype=np.float32)
+    idx.save(tmp_path / "ci")
+    idx2 = ClsIndex.load(tmp_path / "ci")
+    assert idx2.pids == pids and all(isinstance(p, int) for p in idx2.pids)
+    np.testing.assert_array_equal(idx2.reps, idx.reps)
+
+    q = rng.normal(size=(3, dim)).astype(np.float32)
+    dreps, dnorms = idx2.device_arrays()
+    search = make_cls_search_batched(k=k)
+    v, i = search(jnp.asarray(q), dreps, dnorms)
+    v, i = np.asarray(v), np.asarray(i)
+    ov, oi = _oracle_topk(q, reps, k)
+    np.testing.assert_array_equal(i, oi)
+    np.testing.assert_allclose(v, ov, rtol=1e-5, atol=1e-5)
+
+
+def test_cls_index_bf16_storage(rng, tmp_path):
+    import ml_dtypes
+    reps = rng.normal(size=(10, 16)).astype(np.float32)
+    idx = build_cls_index(reps, pids=list(range(10)), dtype=ml_dtypes.bfloat16)
+    idx.save(tmp_path / "cb")
+    idx2 = ClsIndex.load(tmp_path / "cb")
+    assert idx2.reps.dtype == ml_dtypes.bfloat16
+    q = reps[:2]    # exact self-match must still rank itself first
+    search = make_cls_search_batched(k=3)
+    _, i = search(jnp.asarray(q), *idx2.device_arrays())
+    assert np.asarray(i)[:, 0].tolist() == [0, 1]
+
+
+def test_cls_sharded_batched_matches_single(rng):
+    n, dim, k = 60, 16, 7
+    reps = rng.normal(size=(n, dim)).astype(np.float32)
+    pids = [f"p{i}" for i in range(n)]
+    q = rng.normal(size=(4, dim)).astype(np.float32)
+
+    idx1 = build_cls_index(reps, pids, dtype=np.float32)
+    v1, i1 = make_cls_search_batched(k=k)(jnp.asarray(q),
+                                          *idx1.device_arrays())
+    mesh = make_serving_mesh(n_shards=8)
+    v8, i8 = make_cls_search_batched(k=k, mesh=mesh)(
+        jnp.asarray(q), *idx1.device_arrays(mesh))
+    # ONE index serves any shard count (rows pad to a 128-multiple); row =
+    # global doc index, so results agree exactly across layouts
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i8))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v8),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_cls_batched_pad_sentinel(rng):
+    reps = rng.normal(size=(4, 16)).astype(np.float32)
+    idx = build_cls_index(reps, pids=list("abcd"), dtype=np.float32)
+    q = rng.normal(size=(2, 16)).astype(np.float32)
+    _, i = make_cls_search_batched(k=10)(jnp.asarray(q),
+                                         *idx.device_arrays())
+    i = np.asarray(i)
+    assert (i[:, 4:] == -1).all()
+    for row in i[:, :4]:
+        assert sorted(row.tolist()) == [0, 1, 2, 3]
