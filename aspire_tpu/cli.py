@@ -146,6 +146,9 @@ def cmd_build_index(args):
     if args.family == "cls":
         _build_cls_index_cmd(args)
         return
+    if args.family == "sent":
+        _build_sent_index_cmd(args)
+        return
 
     mkw = {"compute_dtype": jnp.bfloat16} if args.bf16_compute else {}
     if args.seq_buckets:
@@ -236,6 +239,51 @@ def _build_cls_index_cmd(args):
     print(f"indexed {idx.n_docs} docs (cls) -> {args.out}")
 
 
+def _build_sent_index_cmd(args):
+    """build-index --family sent: per-sentence reps from the sent-bert
+    family (cosentbert/ictsentbert/sbert baselines), cosine max-sim ranking.
+
+    Mirrors the reference's build_sentbert_reps
+    (pre_proc_buildreps.py:309-370) + cosine ranking
+    (pp_gen_nearest.py:793-794).  Reps are stored L2-NORMALIZED so the
+    standard l2max dense-bucket search ranks identically to cosine max-sim
+    (for unit vectors L2^2 = 2 - 2cos); `rank` converts scores back."""
+    import numpy as np
+
+    from .data.readers import read_jsonl
+    from .index.dense import build_dense_index
+
+    if args.int8 or args.bf16_compute or args.seq_buckets:
+        raise ValueError("--int8/--bf16-compute/--seq-buckets are "
+                         "aspire-family options; the sent family supports "
+                         "--bf16 storage only")
+    if not args.model:
+        raise ValueError("--family sent needs --model (cosentbert/"
+                         "ictsentbert with --run-dir, or an sbert baseline "
+                         "with --weights-dir)")
+    model = _load_eval_model(args)
+    corpus, pids = [], []
+    for rec in read_jsonl(args.corpus):
+        pids.append(rec["paper_id"])
+        corpus.append({"TITLE": rec["title"], "ABSTRACT": rec["abstract"]})
+    reps = []
+    for i in range(0, len(corpus), args.batch_size):
+        for r in model.encode(corpus[i:i + args.batch_size]):
+            r = np.asarray(r, np.float32)   # may be a read-only jit buffer
+            r = r / np.clip(np.linalg.norm(r, axis=1, keepdims=True),
+                            1e-9, None)
+            reps.append(r)
+        if i and (i // args.batch_size) % 20 == 0:
+            logging.info("encoded %d/%d docs", i + args.batch_size, len(corpus))
+    import ml_dtypes
+    dtype = ml_dtypes.bfloat16 if args.bf16 else np.float32
+    idx = build_dense_index(reps, pids, n_shards=args.n_shards, dtype=dtype,
+                            score_type="cosine")
+    idx.save(args.out)
+    print(f"indexed {idx.n_docs} docs (sent/cosine, {len(idx.buckets)} "
+          f"buckets, {args.n_shards} shards) -> {args.out}")
+
+
 def _resolve_ot_solver(name: str) -> str:
     """'auto' -> pallas on TPU, xla elsewhere (interpret-mode pallas off-TPU
     is orders of magnitude slower and deviates ~2e-3 from parity)."""
@@ -307,6 +355,12 @@ def cmd_rank(args):
         return
 
     idx = DenseBucketIndex.load(args.index)
+    if idx.score_type == "cosine" and args.rerank == "ot":
+        # reference parity: the sent-bert family ranks by cosine max-sim
+        # only (pp_gen_nearest.py:793-794); OT is an aspire multi-vector
+        # scorer with an L2 ground cost
+        raise ValueError("OT rerank applies to aspire (l2) indexes; a "
+                         "--family sent index ranks by cosine max-sim")
     dev = idx.device_arrays(mesh)
     flat = flatten_device_buckets(dev)
     pool = dataset.get_test_pool(facet=args.facet)
@@ -321,7 +375,13 @@ def cmd_rank(args):
             # faceted search: only the query sentences labelled with the
             # facet participate (rank_pool_sentfaceted, pp_gen_nearest.py:988)
             q = model.get_faceted_encoding(q, args.facet, dataset.get(qpid))
-        q_list.append(np.asarray(q, np.float32))
+        q = np.asarray(q, np.float32)
+        if idx.score_type == "cosine":
+            # the index stores unit vectors; matching normalization makes
+            # -L2 ordering == cosine ordering (L2^2 = 2 - 2cos)
+            q = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True),
+                            1e-9, None)
+        q_list.append(q)
 
     # derive the query-row capacity from the ACTUAL encodings (a faceted
     # sentence+entity query can exceed any fixed guess), sublane-aligned
@@ -366,6 +426,10 @@ def cmd_rank(args):
             real = docs[i] >= 0     # mask ids AND scores together: pairing
             docs_i = docs[i][real]  # by zip position would silently attach
             scores_i = scores[i][real]  # wrong scores if a pad ever sorted
+            if idx.score_type == "cosine":
+                # search scores are -L2 of unit vectors; report the
+                # reference's cosine values (pp_gen_nearest.py:793-794)
+                scores_i = 1.0 - scores_i * scores_i / 2.0
             ranked[qpid] = [[idx.pids[d], float(s)]  # before a real hit
                             for d, s in zip(docs_i, scores_i)]
     _write_rank_outputs(args, dataset, ranked)
@@ -481,11 +545,16 @@ def build_parser():
     b.add_argument("--run-dir")
     b.add_argument("--weights-dir")
     b.add_argument("--tokenizer")
-    b.add_argument("--family", choices=["multivec", "cls"],
+    b.add_argument("--family", choices=["multivec", "cls", "sent"],
                    default="multivec",
-                   help="multivec: sentence reps (aspire models); cls: one "
-                        "whole-abstract vector per doc (specter/cospecter "
-                        "bi-encoders)")
+                   help="multivec: aspire sentence reps (l2/OT scoring); "
+                        "cls: one whole-abstract vector per doc (specter/"
+                        "cospecter bi-encoders); sent: per-sentence reps "
+                        "from the sent-bert family, cosine max-sim")
+    b.add_argument("--model",
+                   help="(--family sent) eval-model name, e.g. cosentbert/"
+                        "ictsentbert (--run-dir) or sbtinybertsota "
+                        "(--weights-dir)")
     b.add_argument("--n-shards", type=int, default=1)
     b.add_argument("--batch-size", type=int, default=32)
     b.add_argument("--bf16", action="store_true")

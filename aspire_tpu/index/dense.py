@@ -54,6 +54,10 @@ class DenseBucketIndex:
                             #        optional "scales": [n,s] f32 (int8 mode)}
     doc_lens: np.ndarray    # [n_docs] i32 (true sentence counts)
     pids: list
+    # 'l2' (aspire multi-vector reps) or 'cosine' (sent-bert family: reps
+    # stored L2-NORMALIZED, so the same l2max search ranks identically to
+    # cosine max-sim and rank-time scores convert via cos = 1 - L2^2/2)
+    score_type: str = "l2"
     # inverse map doc -> (bucket, row), built once at build/load time so the
     # rerank candidate fetch is O(k) instead of O(n_docs) per query
     _doc_bucket: np.ndarray | None = None   # [n_docs] i32
@@ -106,7 +110,8 @@ class DenseBucketIndex:
         save_pids(path, self.pids)
         with open(path / "meta.json", "w") as f:
             json.dump({"n_buckets": len(self.buckets),
-                       "sent_dtype": sent_dtype}, f)
+                       "sent_dtype": sent_dtype,
+                       "score_type": self.score_type}, f)
 
     @classmethod
     def load(cls, path) -> "DenseBucketIndex":
@@ -137,7 +142,7 @@ class DenseBucketIndex:
         from .build import load_pids
         pids = load_pids(path)
         idx = cls(buckets=buckets, doc_lens=np.load(path / "doc_lens.npy"),
-                  pids=pids)
+                  pids=pids, score_type=meta.get("score_type", "l2"))
         idx._ensure_doc_pos()
         return idx
 
@@ -219,7 +224,8 @@ def _assign_buckets(doc_lens: np.ndarray, buckets: tuple) -> dict:
 
 def build_dense_index(doc_reps: list[np.ndarray], pids: list,
                       buckets: tuple[int, ...] = DEFAULT_BUCKETS,
-                      n_shards: int = 1, dtype=None) -> DenseBucketIndex:
+                      n_shards: int = 1, dtype=None,
+                      score_type: str = "l2") -> DenseBucketIndex:
     """Pack per-doc [num_sents, dim] matrices into dense buckets.
 
     Docs longer than the largest bucket are truncated to it.  Each bucket's
@@ -290,7 +296,7 @@ def build_dense_index(doc_reps: list[np.ndarray], pids: list,
             b["scales"] = scales
         out_buckets.append(b)
     idx = DenseBucketIndex(buckets=out_buckets, doc_lens=doc_lens,
-                           pids=list(pids))
+                           pids=list(pids), score_type=score_type)
     idx._ensure_doc_pos()
     return idx
 

@@ -211,3 +211,67 @@ def test_build_index_and_rank_cls_family(tmp_path, rng):
                   "--out", str(tmp_path / "cx"), "--rerank", "ot"],
                  cwd=str(tmp_path))
     assert r5.returncode != 0 and "CLS index" in r5.stderr
+
+
+def test_build_index_and_rank_sent_family(tmp_path, rng):
+    """build-index --family sent + rank: sent-bert per-sentence reps with
+    cosine max-sim (reference build_sentbert_reps +
+    pp_gen_nearest.py:793-794)."""
+    # tiny local HF BERT checkpoint (the sbert-baseline weights_dir path)
+    mk = (
+        "import json, pathlib, transformers\n"
+        "td = pathlib.Path(%r)\n"
+        "vocab = ['[PAD]', '[UNK]', '[CLS]', '[SEP]', '[MASK]', 'title'] + %r\n"
+        "(td / 'hf').mkdir()\n"
+        "(td / 'hf' / 'vocab.txt').write_text('\\n'.join(vocab))\n"
+        "cfg = transformers.BertConfig(vocab_size=len(vocab), hidden_size=32,\n"
+        "    num_hidden_layers=2, num_attention_heads=4, intermediate_size=64,\n"
+        "    max_position_embeddings=64)\n"
+        "transformers.BertModel(cfg).save_pretrained(td / 'hf')\n"
+        "transformers.BertTokenizer(str(td / 'hf' / 'vocab.txt'))"
+        ".save_pretrained(td / 'hf')\n"
+    ) % (str(tmp_path), WORDS)
+    r = subprocess.run([sys.executable, "-c", mk], capture_output=True,
+                       text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    from tests_evalds import make_eval_dataset
+    papers, anns = make_eval_dataset(tmp_path, rng, WORDS)
+    with open(tmp_path / "corpus.jsonl", "w") as f:
+        for pid, p in papers.items():
+            if not pid.startswith("q") or "c" in pid:
+                f.write(json.dumps({"paper_id": pid, **p}) + "\n")
+
+    r2 = run_cli(["build-index", "--family", "sent",
+                  "--model", "sbtinybertsota",
+                  "--corpus", str(tmp_path / "corpus.jsonl"),
+                  "--weights-dir", str(tmp_path / "hf"),
+                  "--out", str(tmp_path / "sidx")], cwd=str(tmp_path))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    meta = json.loads((tmp_path / "sidx" / "meta.json").read_text())
+    assert meta["score_type"] == "cosine"
+
+    r3 = run_cli(["rank", "--index", str(tmp_path / "sidx"),
+                  "--dataset", "toy", "--dataset-dir", str(tmp_path),
+                  "--model", "sbtinybertsota",
+                  "--weights-dir", str(tmp_path / "hf"),
+                  "--out", str(tmp_path / "sranked"), "--k", "8",
+                  "--n-shards", "8"], cwd=str(tmp_path))
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    ranked = json.loads((tmp_path / "sranked" /
+                         "test-pid2pool-toy-sbtinybertsota-ranked.json").read_text())
+    for qpid, cands in ranked.items():
+        # near-copies share the query's sentences -> cosine 1.0 on top
+        assert {c for c, _ in cands[:2]} == {f"{qpid}c0", f"{qpid}c1"}, cands[:4]
+        assert cands[0][1] == pytest.approx(1.0, abs=1e-4)
+        # cosine scores live in [-1, 1]
+        assert all(-1.001 <= s <= 1.001 for _, s in cands)
+
+    # OT rerank is an l2/aspire scorer: refuse on a cosine index
+    r4 = run_cli(["rank", "--index", str(tmp_path / "sidx"),
+                  "--dataset", "toy", "--dataset-dir", str(tmp_path),
+                  "--model", "sbtinybertsota",
+                  "--weights-dir", str(tmp_path / "hf"),
+                  "--out", str(tmp_path / "sx"), "--rerank", "ot"],
+                 cwd=str(tmp_path))
+    assert r4.returncode != 0 and "cosine" in r4.stderr

@@ -320,3 +320,33 @@ def test_int_pids_survive_save_load(rng, tmp_path):
     idx2 = DenseBucketIndex.load(tmp_path / "ip")
     assert idx2.pids == [101, 102, 103, 104, 105, 106]
     assert all(isinstance(p, int) for p in idx2.pids)
+
+
+def test_cosine_index_matches_cosine_oracle(rng, tmp_path):
+    """A --family sent index (normalized reps, score_type='cosine') must
+    rank by cosine max-sim and the L2->cosine score conversion must return
+    the reference's cosine values (pp_gen_nearest.py:793-794)."""
+    reps, pids = make_corpus(rng, n_docs=40)
+    unit = [r / np.linalg.norm(r, axis=1, keepdims=True) for r in reps]
+    idx = build_dense_index(unit, pids, dtype=np.float32,
+                            score_type="cosine")
+    idx.save(tmp_path / "cosi")
+    idx2 = DenseBucketIndex.load(tmp_path / "cosi")
+    assert idx2.score_type == "cosine"
+
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    dev = idx2.device_arrays()
+    search = make_dense_search(len(dev), k=10)
+    qpad = np.zeros((8, 16), np.float32)
+    qpad[:3] = q
+    v, docs = search(jnp.asarray(qpad), jnp.int32(3),
+                     *flatten_device_buckets(dev))
+    v, docs = np.asarray(v), np.asarray(docs)
+
+    # oracle: per-doc max cosine over (query sent, doc sent) pairs
+    want = np.array([np.max(q @ r.T) for r in unit])
+    order = np.argsort(-want)
+    np.testing.assert_array_equal(docs, order[:10])
+    cos = 1.0 - v * v / 2.0            # the rank CLI's conversion
+    np.testing.assert_allclose(cos, want[order[:10]], rtol=1e-5, atol=1e-5)
