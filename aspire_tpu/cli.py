@@ -66,7 +66,8 @@ def cmd_train(args):
     model = build_model(cfg.model, bert_config, dtype=compute_dtype)
     mesh = make_mesh(n_data=args.num_devices)
     trainer = Trainer(model, cfg, args.out, mesh=mesh,
-                      fused_accum=args.fused_accum)
+                      fused_accum=args.fused_accum,
+                      rng_impl="rbg" if args.fast_rng else None)
     rng = jax.random.key(args.seed)
     state = trainer.init_state(rng)
     if args.init_hf_dir:
@@ -513,6 +514,11 @@ def build_parser():
                         "helps when micro batches underfill the chip)")
     t.add_argument("--fast-tokenizer", action="store_true",
                    help="use the native C++ WordPiece tokenizer")
+    t.add_argument("--fast-rng", action="store_true",
+                   help="TPU hardware bit generator (rbg) for dropout/"
+                        "in-batch-negative keys: threefry mask generation "
+                        "is ~half the t=512 step cost; deterministic per "
+                        "seed but a different stream than the default")
     t.add_argument("--seq-buckets",
                    help="comma-separated length buckets, e.g. 192,320,512")
     t.add_argument("--shuffle-seed", type=int, default=None,

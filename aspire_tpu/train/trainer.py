@@ -71,9 +71,19 @@ class Trainer:
     """
 
     def __init__(self, model, run_config: RunConfig, model_path: str,
-                 mesh=None, early_stop: bool = True, fused_accum: bool = False):
+                 mesh=None, early_stop: bool = True, fused_accum: bool = False,
+                 rng_impl: str | None = None):
         self.model = model
         self.cfg = run_config
+        # rng_impl='rbg' swaps the step keys to the TPU hardware bit
+        # generator: dropout-mask generation with the default threefry is
+        # ~HALF the t=512 train-step cost (measured, benchmarks/
+        # train_bench.py); rbg removes most of it.  Typed keys carry the
+        # impl through every split/fold_in, so the whole step (dropout +
+        # in-batch-negative permutations) switches streams together --
+        # deterministic under a fixed seed either way, but 'rbg' runs are
+        # not bit-reproducible against 'threefry' runs.
+        self.rng_impl = rng_impl
         tp = run_config.train
         self.tp = tp
         self.model_path = pathlib.Path(model_path)
@@ -220,7 +230,7 @@ class Trainer:
                 "epochs > 1 needs a re-iterable `batches` (e.g. "
                 "data.readers.TripleStream): a plain iterator is exhausted "
                 "after epoch 1 and the rest would silently train on nothing")
-        rng = jax.random.key(seed)
+        rng = jax.random.key(seed, impl=self.rng_impl)
         t_start = time.time()
         n_steps = 0
         for epoch in range(epochs):

@@ -223,3 +223,33 @@ def test_multi_epoch_rejects_plain_iterator(tmp_path, tok, rng):
                           micro_batch=8, n_micro=2, seq_len=32)
     with pytest.raises(ValueError, match="re-iterable"):
         trainer.train(state, iter(stream), epochs=2)
+
+
+def test_fast_rng_trains(tmp_path, tok, rng):
+    """rng_impl='rbg' (CLI --fast-rng): the whole step -- dropout streams +
+    in-batch-negative permutations -- runs on the hardware-bit-generator key
+    type and still trains (typed keys carry the impl through split/fold_in;
+    on TPU threefry mask generation is ~half the t=512 step cost)."""
+    write_triples(tmp_path / "t.jsonl", 32, rng)
+    cfg = RunConfig.from_dict({
+        "model_name": "miswordbienc", "score_aggregation": "l2max",
+        "train_size": 32, "batch_size": 8, "accumulated_batch_size": 16,
+        "num_epochs": 1, "learning_rate": 1e-4, "num_warmup_steps": 2,
+        "lr_decay_method": "warmuplin", "es_check_every": 100,
+        "max_sents": 4, "update_rule": "adam", "decay_lr_every": 1})
+    mesh = make_mesh()
+    model = build_model(cfg.model, BertConfig.tiny())
+    trainer = Trainer(model, cfg, str(tmp_path / "run"), mesh=mesh,
+                      early_stop=False, rng_impl="rbg")
+    state = trainer.init_state(jax.random.key(0))
+    p0 = jax.device_get(state.params)
+    stream = TripleStream(str(tmp_path / "t.jsonl"), tok, cfg.model,
+                          micro_batch=8, n_micro=2, seq_len=32)
+    # 2 optimizer updates: the first warmuplin update is at lr 0
+    state = trainer.train(state, iter(stream))
+    assert int(state.step) == 2
+    assert np.isfinite(trainer.loss_history).all()
+    p1 = jax.device_get(state.params)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), p0, p1)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
