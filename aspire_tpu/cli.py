@@ -509,9 +509,10 @@ def build_parser():
                         "MXU throughput and half the activation HBM on TPU")
     t.add_argument("--fused-accum", action="store_true",
                    help="fuse gradient accumulation into one wide encode "
-                        "(exact same summed gradients; measured at parity "
-                        "with the scan at the reference t=512 shape -- "
-                        "helps when micro batches underfill the chip)")
+                        "(exact same summed gradients; helps when SHORT "
+                        "micro batches underfill the chip -- at the full "
+                        "t=512 reference shape the scan is ~11%% faster, "
+                        "benchmarks/train_bench.py)")
     t.add_argument("--fast-tokenizer", action="store_true",
                    help="use the native C++ WordPiece tokenizer")
     t.add_argument("--fast-rng", action="store_true",
