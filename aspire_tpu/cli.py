@@ -131,6 +131,25 @@ def cmd_evaluate(args):
     print(json.dumps({k: v for k, v in out.items()}, indent=1, default=str))
 
 
+def _read_corpus(path):
+    """corpus jsonl -> (batch dicts for SimilarityModel.encode, pids)."""
+    from .data.readers import read_jsonl
+    corpus, pids = [], []
+    for rec in read_jsonl(path):
+        pids.append(rec["paper_id"])
+        corpus.append({"TITLE": rec["title"], "ABSTRACT": rec["abstract"]})
+    return corpus, pids
+
+
+def _unit_rows(x):
+    """Row-normalize [n, d] reps; build-time (sent index storage) and
+    rank-time (queries) MUST share this so the cosine==L2 ordering
+    equivalence holds."""
+    import numpy as np
+    x = np.asarray(x, np.float32)   # may be a read-only jit buffer
+    return x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-9, None)
+
+
 def cmd_build_index(args):
     import numpy as np
     from transformers import AutoTokenizer
@@ -138,7 +157,6 @@ def cmd_build_index(args):
     from .train.trainer import enable_compilation_cache
     enable_compilation_cache()
 
-    from .data.readers import read_jsonl
     from .evaluation.models import AspireSimilarityModel
     from .index.dense import build_dense_index, build_dense_index_prequantized
 
@@ -160,10 +178,7 @@ def cmd_build_index(args):
         AutoTokenizer.from_pretrained(args.tokenizer), **mkw) if args.run_dir \
         else AspireSimilarityModel.from_hf_dir("index-encoder",
                                                args.weights_dir, **mkw)
-    corpus, pids = [], []
-    for rec in read_jsonl(args.corpus):
-        pids.append(rec["paper_id"])
-        corpus.append({"TITLE": rec["title"], "ABSTRACT": rec["abstract"]})
+    corpus, pids = _read_corpus(args.corpus)
     if args.seq_buckets:
         # sort by approximate token count so batches are length-homogeneous
         # and ride the smallest bucket; index results don't depend on doc
@@ -208,7 +223,6 @@ def _build_cls_index_cmd(args):
     import numpy as np
     from transformers import AutoTokenizer
 
-    from .data.readers import read_jsonl
     from .evaluation.models import ClsSimilarityModel, get_model
     from .index.cls import build_cls_index
 
@@ -216,7 +230,13 @@ def _build_cls_index_cmd(args):
         raise ValueError("--int8/--seq-buckets/--bf16-compute are "
                          "multi-vector options; the CLS family supports "
                          "--bf16 storage only")
-    if args.run_dir:
+    if args.model:
+        # honor the eval-model name so the corpus encoder matches whatever
+        # `rank --model ...` will encode queries with (e.g. a *_ner variant
+        # appends entities -- a hardcoded default here would silently build
+        # the index in a different input distribution than the queries)
+        model = _load_eval_model(args)
+    elif args.run_dir:
         model = get_model("cospecter", trained_model_path=args.run_dir,
                           tokenizer=AutoTokenizer.from_pretrained(args.tokenizer),
                           batch_size=args.batch_size)
@@ -224,10 +244,7 @@ def _build_cls_index_cmd(args):
         model = ClsSimilarityModel.from_hf_dir("index-encoder",
                                                args.weights_dir,
                                                batch_size=args.batch_size)
-    corpus, pids = [], []
-    for rec in read_jsonl(args.corpus):
-        pids.append(rec["paper_id"])
-        corpus.append({"TITLE": rec["title"], "ABSTRACT": rec["abstract"]})
+    corpus, pids = _read_corpus(args.corpus)
     reps = []
     for i in range(0, len(corpus), args.batch_size):
         reps.extend(model.encode(corpus[i:i + args.batch_size]))
@@ -251,7 +268,6 @@ def _build_sent_index_cmd(args):
     (for unit vectors L2^2 = 2 - 2cos); `rank` converts scores back."""
     import numpy as np
 
-    from .data.readers import read_jsonl
     from .index.dense import build_dense_index
 
     if args.int8 or args.bf16_compute or args.seq_buckets:
@@ -263,17 +279,11 @@ def _build_sent_index_cmd(args):
                          "ictsentbert with --run-dir, or an sbert baseline "
                          "with --weights-dir)")
     model = _load_eval_model(args)
-    corpus, pids = [], []
-    for rec in read_jsonl(args.corpus):
-        pids.append(rec["paper_id"])
-        corpus.append({"TITLE": rec["title"], "ABSTRACT": rec["abstract"]})
+    corpus, pids = _read_corpus(args.corpus)
     reps = []
     for i in range(0, len(corpus), args.batch_size):
-        for r in model.encode(corpus[i:i + args.batch_size]):
-            r = np.asarray(r, np.float32)   # may be a read-only jit buffer
-            r = r / np.clip(np.linalg.norm(r, axis=1, keepdims=True),
-                            1e-9, None)
-            reps.append(r)
+        reps.extend(_unit_rows(r)
+                    for r in model.encode(corpus[i:i + args.batch_size]))
         if i and (i // args.batch_size) % 20 == 0:
             logging.info("encoded %d/%d docs", i + args.batch_size, len(corpus))
     import ml_dtypes
@@ -311,7 +321,6 @@ def cmd_rank(args):
     from .index.dense import (DenseBucketIndex, make_dense_search_batched,
                               flatten_device_buckets)
     from .evaluation.datasets import EvalDataset
-    from .evaluation.ranking_eval import print_pool_neighbours
 
     args.ot_solver = _resolve_ot_solver(args.ot_solver)
     with open(os.path.join(args.index, "meta.json")) as f:
@@ -344,7 +353,17 @@ def cmd_rank(args):
         q_arr = np.stack([np.asarray(q_encs[q], np.float32).reshape(-1)
                           for q in qpids])
         reps, norms = idx.device_arrays(mesh)
-        search = make_cls_search_batched(k=args.k, mesh=mesh)
+        # --q-chunk bounds the [c, rows] score intermediate here exactly as
+        # it bounds the dense path's [c, n, s, q] block; queries pad to a
+        # chunk multiple so lax.map sees equal chunks
+        q_chunk = max(1, min(args.q_chunk, len(q_arr)))
+        bsz = -(-len(q_arr) // q_chunk) * q_chunk
+        if bsz > len(q_arr):
+            q_arr = np.concatenate(
+                [q_arr, np.zeros((bsz - len(q_arr), q_arr.shape[1]),
+                                 np.float32)])
+        search = make_cls_search_batched(k=args.k, mesh=mesh,
+                                         q_chunk=q_chunk)
         scores, docs = search(jnp.asarray(q_arr), reps, norms)
         scores, docs = np.asarray(scores), np.asarray(docs)
         ranked = {}
@@ -378,10 +397,10 @@ def cmd_rank(args):
             q = model.get_faceted_encoding(q, args.facet, dataset.get(qpid))
         q = np.asarray(q, np.float32)
         if idx.score_type == "cosine":
-            # the index stores unit vectors; matching normalization makes
-            # -L2 ordering == cosine ordering (L2^2 = 2 - 2cos)
-            q = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True),
-                            1e-9, None)
+            # the index stores unit vectors (_unit_rows at build time);
+            # matching normalization makes -L2 ordering == cosine ordering
+            # (L2^2 = 2 - 2cos)
+            q = _unit_rows(q)
         q_list.append(q)
 
     # derive the query-row capacity from the ACTUAL encodings (a faceted

@@ -24,6 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from .build import save_pids, load_pids
+from .dense import _merge_sharded_topk, _topk_padded
 
 
 def pack_cls_index(cls_reps: np.ndarray, n_shards: int = 1, dtype=None):
@@ -43,63 +44,82 @@ def pack_cls_index(cls_reps: np.ndarray, n_shards: int = 1, dtype=None):
     return reps, norms
 
 
-@partial(jax.jit, static_argnames=("k",))
-def cls_search(q: jax.Array, reps: jax.Array, norms: jax.Array, k: int):
-    """-L2 top-k for one query CLS vector. q: [d]; reps: [n, d]."""
-    qf = q.astype(jnp.float32)
-    sims = jnp.einsum("d,nd->n", q.astype(reps.dtype), reps,
-                      preferred_element_type=jnp.float32)
-    score = 2.0 * sims - norms - jnp.sum(qf * qf)
-    v, i = jax.lax.top_k(score, k)
-    # pad rows (+inf norms) score -inf: mark them -1 like the dense path so
-    # k > n_docs can't surface a pad row as a plausible doc index
-    i = jnp.where(jnp.isneginf(v), -1, i)
-    return -jnp.sqrt(jnp.maximum(-v, 0.0)), i
-
-
-def _batched_scores(q: jax.Array, reps: jax.Array, norms: jax.Array, k: int):
-    """[B, d] queries vs [L, d] reps -> local (neg-sq-L2 top-k, indices)."""
+def _local_topk(q: jax.Array, reps: jax.Array, norms: jax.Array, k: int):
+    """[B, d] queries x [L, d] local reps -> pad-aware top-k of the
+    neg-squared-L2 scores: ([B, k] scores, [B, k] local row ids, -1 where
+    the local pool holds fewer than k rows)."""
     qf = q.astype(jnp.float32)
     sims = jnp.einsum("bd,nd->bn", q.astype(reps.dtype), reps,
                       preferred_element_type=jnp.float32)
     score = 2.0 * sims - norms[None, :] - jnp.sum(qf * qf, axis=1)[:, None]
-    return jax.lax.top_k(score, k)
+    idx = jnp.broadcast_to(jnp.arange(score.shape[1], dtype=jnp.int32),
+                           score.shape)
+    return _topk_padded(score, idx, k)
 
 
-def make_cls_search_batched(k: int, mesh: Mesh | None = None):
+def _finish(v: jax.Array, i: jax.Array):
+    """neg-sq-L2 -> -L2 scores; pad slots (+inf-norm rows score -inf, short
+    pools carry -1 from _topk_padded) come back as doc index -1."""
+    idx = jnp.where(jnp.isneginf(v) | (i < 0), -1, i)
+    return -jnp.sqrt(jnp.maximum(-v, 0.0)), idx
+
+
+def make_cls_search_batched(k: int, mesh: Mesh | None = None,
+                            q_chunk: int | None = None):
     """Batched CLS search: fn(q [B, d], reps [n_pad, d], norms [n_pad]) ->
     (scores [B, k], doc idx [B, k]; -1 at pad slots).
+
+    The ONE CLS search implementation -- `cls_search` and
+    `make_sharded_cls_search` are B=1 wrappers of this path, so the
+    score/top-k/pad-sentinel logic lives in exactly one place.
 
     mesh: reps/norms sharded over `shard` on axis 0 (row = global doc
     index; ClsIndex pads to a 128-multiple so any mesh up to 128 ways
     divides it); per-shard top-k + one all_gather of [B, k] blocks merges
-    over ICI (the dense path's shape).  Unlike the multi-vector indexes,
-    pad slots are dedicated +inf-norm ROWS, so a k > n_docs pool can never
-    surface duplicate real docs -- pads come back as -1.
+    over ICI (dense._merge_sharded_topk, the same merge the multi-vector
+    paths ride).  Pad slots are dedicated +inf-norm ROWS and short
+    shards/pools pad with -1 (`_topk_padded`), so ANY k is safe -- k larger
+    than the per-shard row count or the whole corpus returns -1 fillers,
+    never a duplicate or phantom doc.
+
+    q_chunk: bound the [c, rows] f32 score intermediate by scanning the
+    query batch in chunks of c (lax.map; must divide B) -- the CLS analogue
+    of the dense path's q_chunk.
     """
+
+    def _core(q, reps, norms, sharded: bool):
+        def chunk_fn(qc):
+            v, i = _local_topk(qc, reps, norms, k)
+            if sharded:
+                i = jnp.where(
+                    i >= 0,
+                    i + jax.lax.axis_index("shard") * reps.shape[0], -1)
+                v, i = _merge_sharded_topk(v, i, k)
+            return v, i
+
+        bsz = q.shape[0]
+        if q_chunk is None or q_chunk >= bsz:
+            return _finish(*chunk_fn(q))
+        assert bsz % q_chunk == 0, (
+            f"q_chunk={q_chunk} must divide the query batch {bsz}")
+        qr = q.reshape(bsz // q_chunk, q_chunk, q.shape[1])
+        v, i = jax.lax.map(chunk_fn, qr)
+        return _finish(v.reshape(bsz, k), i.reshape(bsz, k))
+
     if mesh is None:
-        @jax.jit
-        def single(q, reps, norms):
-            v, i = _batched_scores(q, reps, norms, k)
-            idx = jnp.where(jnp.isneginf(v), -1, i)
-            return -jnp.sqrt(jnp.maximum(-v, 0.0)), idx
-        return single
-
-    def _local(q, reps, norms):
-        # block-local views: reps [L/n_shards, d]
-        v, i = _batched_scores(q, reps, norms, k)
-        i = i + jax.lax.axis_index("shard") * reps.shape[0]
-        v_all = jax.lax.all_gather(v, "shard", axis=1, tiled=True)
-        i_all = jax.lax.all_gather(i, "shard", axis=1, tiled=True)
-        vk, pos = jax.lax.top_k(v_all, k)
-        idx = jnp.where(jnp.isneginf(vk), -1,
-                        jnp.take_along_axis(i_all, pos, axis=1))
-        return -jnp.sqrt(jnp.maximum(-vk, 0.0)), idx
-
-    fn = shard_map(_local, mesh=mesh,
-                   in_specs=(P(), P("shard"), P("shard")),
+        return jax.jit(lambda q, reps, norms: _core(q, reps, norms, False))
+    fn = shard_map(lambda q, reps, norms: _core(q, reps, norms, True),
+                   mesh=mesh, in_specs=(P(), P("shard"), P("shard")),
                    out_specs=(P(), P()), check_vma=False)
     return jax.jit(fn)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def cls_search(q: jax.Array, reps: jax.Array, norms: jax.Array, k: int):
+    """-L2 top-k for ONE query CLS vector (B=1 of the batched path).
+    q: [d]; reps: [n, d]."""
+    v, i = _finish(*_local_topk(q[None], reps, norms, k))
+    return v[0], i[0]
 
 
 @dataclasses.dataclass
@@ -174,24 +194,11 @@ def build_cls_index(cls_reps: np.ndarray, pids: list,
 
 
 def make_sharded_cls_search(mesh: Mesh, k: int):
-    """reps/norms sharded on axis 0; returns replicated (scores, global idx)."""
+    """Single-query sharded CLS search (B=1 of make_cls_search_batched)."""
+    search = make_cls_search_batched(k, mesh=mesh)
 
-    def _local(q, reps, norms):
-        qf = q.astype(jnp.float32)
-        sims = jnp.einsum("d,nd->n", q.astype(reps.dtype), reps,
-                          preferred_element_type=jnp.float32)
-        score = 2.0 * sims - norms - jnp.sum(qf * qf)
-        v, i = jax.lax.top_k(score, k)
-        # local row -> global row
-        shard_id = jax.lax.axis_index("shard")
-        i = i + shard_id * reps.shape[0]
-        v_all = jax.lax.all_gather(v, "shard").reshape(-1)
-        i_all = jax.lax.all_gather(i, "shard").reshape(-1)
-        vk, ik = jax.lax.top_k(v_all, k)
-        idx = jnp.where(jnp.isneginf(vk), -1, i_all[ik])  # pad sentinel
-        return -jnp.sqrt(jnp.maximum(-vk, 0.0)), idx
+    def fn(q, reps, norms):
+        v, i = search(q[None], reps, norms)
+        return v[0], i[0]
 
-    fn = shard_map(_local, mesh=mesh,
-                   in_specs=(P(), P("shard"), P("shard")),
-                   out_specs=(P(), P()), check_vma=False)
-    return jax.jit(fn)
+    return fn

@@ -82,3 +82,41 @@ def test_cls_batched_pad_sentinel(rng):
     assert (i[:, 4:] == -1).all()
     for row in i[:, :4]:
         assert sorted(row.tolist()) == [0, 1, 2, 3]
+
+
+def test_cls_k_exceeds_shard_rows(rng):
+    """k larger than the per-shard row block (and than the whole corpus):
+    used to crash in lax.top_k ('k must be no larger than size along axis');
+    _topk_padded fills with -1 instead, matching the advertised 'k > n_docs
+    never surfaces duplicates' contract on every layout."""
+    n, dim, k = 5, 16, 100   # pads to 128 rows -> 16 rows/shard on 8 shards
+    reps = rng.normal(size=(n, dim)).astype(np.float32)
+    idx = build_cls_index(reps, pids=list(range(n)), dtype=np.float32)
+    q = rng.normal(size=(3, dim)).astype(np.float32)
+
+    v1, i1 = make_cls_search_batched(k=k)(jnp.asarray(q),
+                                          *idx.device_arrays())
+    mesh = make_serving_mesh(n_shards=8)
+    v8, i8 = make_cls_search_batched(k=k, mesh=mesh)(
+        jnp.asarray(q), *idx.device_arrays(mesh))
+    i1, i8 = np.asarray(i1), np.asarray(i8)
+    np.testing.assert_array_equal(i1, i8)
+    assert (i1[:, n:] == -1).all()
+    for row in i1[:, :n]:
+        assert sorted(row.tolist()) == list(range(n))
+
+
+def test_cls_q_chunk_matches_unchunked(rng):
+    n, dim, k = 40, 16, 6
+    reps = rng.normal(size=(n, dim)).astype(np.float32)
+    idx = build_cls_index(reps, pids=list(range(n)), dtype=np.float32)
+    q = rng.normal(size=(8, dim)).astype(np.float32)
+    dev = idx.device_arrays()
+    v, i = make_cls_search_batched(k=k)(jnp.asarray(q), *dev)
+    vc, ic = make_cls_search_batched(k=k, q_chunk=2)(jnp.asarray(q), *dev)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ic))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vc), rtol=1e-6)
+    mesh = make_serving_mesh(n_shards=8)
+    vs, is_ = make_cls_search_batched(k=k, mesh=mesh, q_chunk=4)(
+        jnp.asarray(q), *idx.device_arrays(mesh))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(is_))
