@@ -437,9 +437,12 @@ def cmd_rank(args):
             ranked[qpid] = [[idx.pids[docs_i[j]], float(sims_i[j])]
                             for j in order]
     else:
+        # cosine (sent-family) indexes: the scan IS the final ranking, so
+        # run it at HIGHEST precision (no-op for bf16 storage)
         search = make_dense_search_batched(len(dev), k=args.k,
                                            int8=idx.is_int8, mesh=mesh,
-                                           q_chunk=q_chunk)
+                                           q_chunk=q_chunk,
+                                           exact=idx.score_type == "cosine")
         scores, docs = search(jnp.asarray(q_arr), jnp.asarray(q_lens), *flat)
         scores, docs = np.asarray(scores), np.asarray(docs)
         for i, qpid in enumerate(qpids):

@@ -49,8 +49,15 @@ def _local_topk(q: jax.Array, reps: jax.Array, norms: jax.Array, k: int):
     neg-squared-L2 scores: ([B, k] scores, [B, k] local row ids, -1 where
     the local pool holds fewer than k rows)."""
     qf = q.astype(jnp.float32)
+    # HIGHEST precision: this top-k IS the final CLS ranking (no rerank
+    # stage shields it, unlike the multi-vector first-stage scan), and the
+    # MXU's default f32->bf16 input rounding measurably flips near-tie
+    # neighbours vs the reference's exact sklearn NN (seen on v5e).  For
+    # bf16-stored indexes the inputs are already bf16, so HIGHEST costs
+    # nothing there.
     sims = jnp.einsum("bd,nd->bn", q.astype(reps.dtype), reps,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     score = 2.0 * sims - norms[None, :] - jnp.sum(qf * qf, axis=1)[:, None]
     idx = jnp.broadcast_to(jnp.arange(score.shape[1], dtype=jnp.int32),
                            score.shape)

@@ -351,30 +351,38 @@ def build_dense_index_prequantized(doc_quant: list, pids: list,
     return idx
 
 
-def _bucket_sims(q, bucket):
+def _bucket_sims(q, bucket, exact: bool = False):
     """Fused [n, s, q] similarity tensor q.x for one bucket.
 
     float storage: q is pre-cast to the bucket dtype by the caller.
     int8 storage: upcast int8->bf16 inside the einsum read (XLA fuses the
     convert; HBM traffic stays 1 byte/elem) and apply the per-sentence
-    dequantization scale to the sims."""
+    dequantization scale to the sims.
+
+    exact=True runs the f32 contraction at Precision.HIGHEST.  Default
+    precision rounds f32 MXU inputs to bf16 (ops/cdist.py audit), fine for
+    the aspire first stage (exact rerank re-scores candidates) but NOT for
+    index families whose scan is the final ranking (sent/cosine) -- there
+    near-tie neighbour flips leak into results.  bf16/int8 storage is
+    unaffected (inputs already bf16; HIGHEST is then a no-op)."""
     sents = bucket["sents"]
+    prec = jax.lax.Precision.HIGHEST if exact else None
     if "scales" in bucket:
         sims = jnp.einsum("qd,nsd->nsq", q.astype(jnp.bfloat16),
                           sents.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
         return sims * bucket["scales"][:, :, None]
     return jnp.einsum("qd,nsd->nsq", q.astype(sents.dtype), sents,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32, precision=prec)
 
 
-def _bucket_topk(q, q_norms, q_len, bucket, k: int):
+def _bucket_topk(q, q_norms, q_len, bucket, k: int, exact: bool = False):
     """One bucket: -> (top-k sq-l2max scores [k], global doc idx [k]).
 
     score(doc) = max over (sent, query-sent) of (2 q.x - |x|^2 - |q|^2)
     which orders identically to -L2 and equals its square up to sign."""
     norms, doc_idx = bucket["norms"], bucket["doc_idx"]
-    sims = _bucket_sims(q, bucket)
+    sims = _bucket_sims(q, bucket, exact)
     qmask = (jnp.arange(q.shape[0], dtype=jnp.int32) < q_len)
     scores3 = 2.0 * sims - norms[:, :, None] - q_norms[None, None, :]
     scores3 = jnp.where(qmask[None, None, :], scores3, NEG)
@@ -420,35 +428,39 @@ def _unflatten_buckets(flat, n_buckets: int, int8: bool) -> list[dict]:
             for i in range(n_buckets)]
 
 
-def score_buckets(buckets: list[dict], q, q_len, k: int):
+def score_buckets(buckets: list[dict], q, q_len, k: int,
+                  exact: bool = False):
     """Top-k l2max doc scores over a list of (device) bucket dicts.
 
     q: f32[qmax, d]; -> (sq-l2max scores [k], global doc idx [k]).
     Shared by the plain/batched/fused search builders; usable inside jit
-    and inside shard_map bodies (buckets then hold block-local views)."""
+    and inside shard_map bodies (buckets then hold block-local views).
+    exact: see _bucket_sims (HIGHEST-precision scan for cosine indexes)."""
     q = q.astype(jnp.float32)
     q_norms = jnp.sum(q * q, axis=1)
     vs, ds = [], []
     for b in buckets:
-        v, d = _bucket_topk(q, q_norms, q_len, b, k)
+        v, d = _bucket_topk(q, q_norms, q_len, b, k, exact)
         vs.append(v)
         ds.append(d)
     return _topk_padded(jnp.concatenate(vs), jnp.concatenate(ds), k)
 
 
 def make_dense_search(n_buckets: int, k: int, mesh: Mesh | None = None,
-                      int8: bool = False):
+                      int8: bool = False, exact: bool = False):
     """Build the jitted search fn over device bucket arrays.
 
     Returns fn(q [qmax, d], q_len, *bucket_arrays) -> (scores [k], doc_idx [k])
     with scores = -sqrt(max(-sq_score, 0)) matching reference -L2 values.
     Single-chip (mesh=None) or sharded (per-shard top-k + all_gather merge).
     int8=True for an index built with dtype="int8" (4 arrays per bucket).
+    exact=True for indexes whose scan IS the final ranking (score_type
+    "cosine"): HIGHEST-precision f32 contraction, see _bucket_sims.
     """
 
     def _score_local(q, q_len, *flat):
         buckets = _unflatten_buckets(flat, n_buckets, int8)
-        return score_buckets(buckets, q, q_len, k)
+        return score_buckets(buckets, q, q_len, k, exact)
 
     def _finish(v, d):
         return -jnp.sqrt(jnp.maximum(-v, 0.0)), d
@@ -481,8 +493,10 @@ def flatten_device_buckets(device_buckets: list[dict]) -> list:
     return flat
 
 
-def _bucket_topk_batched(q, q_norms, q_lens, bucket, k: int):
-    """q: [B, Qmax, d]; -> (scores [B, k], doc idx [B, k]) for one bucket."""
+def _bucket_topk_batched(q, q_norms, q_lens, bucket, k: int,
+                         exact: bool = False):
+    """q: [B, Qmax, d]; -> (scores [B, k], doc idx [B, k]) for one bucket.
+    exact: HIGHEST-precision f32 contraction, see _bucket_sims."""
     sents, norms, doc_idx = bucket["sents"], bucket["norms"], bucket["doc_idx"]
     bq, qmax, d = q.shape
     if "scales" in bucket:
@@ -491,8 +505,10 @@ def _bucket_topk_batched(q, q_norms, q_lens, bucket, k: int):
                           preferred_element_type=jnp.float32)
         sims = sims * bucket["scales"][None, :, :, None]
     else:
-        sims = jnp.einsum("bqd,nsd->bnsq", q.astype(sents.dtype), sents,
-                          preferred_element_type=jnp.float32)
+        sims = jnp.einsum(
+            "bqd,nsd->bnsq", q.astype(sents.dtype), sents,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST if exact else None)
     qmask = (jnp.arange(qmax, dtype=jnp.int32)[None, :] < q_lens[:, None])
     scores4 = 2.0 * sims - norms[None, :, :, None] - q_norms[:, None, None, :]
     scores4 = jnp.where(qmask[:, None, None, :], scores4, NEG)
@@ -504,7 +520,7 @@ def _bucket_topk_batched(q, q_norms, q_lens, bucket, k: int):
 
 
 def score_buckets_batched(buckets: list[dict], q, q_lens, k: int,
-                          q_chunk: int | None = None):
+                          q_chunk: int | None = None, exact: bool = False):
     """Batched-query top-k over device bucket dicts (see score_buckets).
 
     q: [B, Qmax, d]; q_lens: i32[B]; -> (scores [B, k], doc idx [B, k]).
@@ -515,7 +531,7 @@ def score_buckets_batched(buckets: list[dict], q, q_lens, k: int,
         q_norms = jnp.sum(qf * qf, axis=2)
         vs, ds = [], []
         for b in buckets:
-            v, dd = _bucket_topk_batched(qc, q_norms, qlc, b, k)
+            v, dd = _bucket_topk_batched(qc, q_norms, qlc, b, k, exact)
             vs.append(v)
             ds.append(dd)
         return _topk_padded(jnp.concatenate(vs, axis=1),
@@ -534,7 +550,8 @@ def score_buckets_batched(buckets: list[dict], q, q_lens, k: int,
 
 def make_dense_search_batched(n_buckets: int, k: int, int8: bool = False,
                               mesh: Mesh | None = None,
-                              q_chunk: int | None = None):
+                              q_chunk: int | None = None,
+                              exact: bool = False):
     """Batched-query variant: amortizes the corpus read over a whole query
     batch -- the production serving shape.
 
@@ -555,7 +572,7 @@ def make_dense_search_batched(n_buckets: int, k: int, int8: bool = False,
 
     def _score_local(q, q_lens, *flat):
         buckets = _unflatten_buckets(flat, n_buckets, int8)
-        return score_buckets_batched(buckets, q, q_lens, k, q_chunk)
+        return score_buckets_batched(buckets, q, q_lens, k, q_chunk, exact)
 
     def _finish(v, d):
         return -jnp.sqrt(jnp.maximum(-v, 0.0)), d

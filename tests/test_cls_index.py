@@ -120,3 +120,32 @@ def test_cls_q_chunk_matches_unchunked(rng):
     vs, is_ = make_cls_search_batched(k=k, mesh=mesh, q_chunk=4)(
         jnp.asarray(q), *idx.device_arrays(mesh))
     np.testing.assert_array_equal(np.asarray(i), np.asarray(is_))
+
+
+def test_exact_precision_reaches_hlo(rng):
+    """The MXU rounds f32 inputs to bf16 at DEFAULT precision, which flips
+    near-tie neighbours on paths whose scan IS the final ranking (measured
+    on v5e: CLS f32 index 3/96 flipped slots vs an f64 oracle; sent/cosine
+    f32 dense index 2/40, both 0 at HIGHEST).  CPU math is exact either
+    way, so assert the precision attribute lands in the lowered program:
+    CLS always, dense iff exact=True."""
+    from aspire_tpu.index.dense import (build_dense_index,
+                                        make_dense_search_batched,
+                                        flatten_device_buckets)
+    n, dim = 12, 16
+    reps = rng.normal(size=(n, dim)).astype(np.float32)
+    idx = build_cls_index(reps, pids=list(range(n)), dtype=np.float32)
+    q = jnp.asarray(rng.normal(size=(2, dim)).astype(np.float32))
+    txt = make_cls_search_batched(k=4).lower(q, *idx.device_arrays()).as_text()
+    assert "HIGHEST" in txt
+
+    docs = [rng.normal(size=(3, dim)).astype(np.float32) for _ in range(n)]
+    didx = build_dense_index(docs, list(range(n)), dtype=np.float32,
+                             score_type="cosine")
+    flat = flatten_device_buckets(didx.device_arrays())
+    qd = jnp.asarray(rng.normal(size=(2, 4, dim)).astype(np.float32))
+    qls = jnp.asarray(np.full((2,), 4, np.int32))
+    for exact in (False, True):
+        s = make_dense_search_batched(1, k=4, exact=exact)
+        txt = s.lower(qd, qls, *flat).as_text()
+        assert ("HIGHEST" in txt) == exact
