@@ -229,6 +229,36 @@ def main():
                       "value": round(dt_fb * 1000 / B, 3), "unit": "ms",
                       "batch_ms": round(dt_fb * 1000, 3),
                       "vs_target_5ms": round(dt_fb * 1000 / B / 5.0, 3)}))
+    del flat8, dev8, pos8
+
+    # ---- CLS (whole-abstract, bi-encoder) family at the same corpus ----
+    # One 768-d vector per doc; the top-k IS the final ranking, so the f32
+    # index scans at Precision.HIGHEST (RESULTS_r3 precision audit) -- this
+    # row quantifies what that exactness costs vs bf16 storage.
+    from aspire_tpu.index.cls import build_cls_index, make_cls_search_batched
+    cls_reps = rng.standard_normal((args.docs, d)).astype(np.float32)
+    qc = jnp.asarray(rng.standard_normal((B, d)).astype(np.float32))
+    for label, dt_store in (("f32_highest", np.float32), ("bf16", None)):
+        if label == "bf16":
+            import ml_dtypes as _md
+            dt_store = _md.bfloat16
+        cidx = build_cls_index(cls_reps, [f"p{i}" for i in range(args.docs)],
+                               dtype=dt_store)
+        creps, cnorms = cidx.device_arrays()
+        csearch = make_cls_search_batched(k=args.k)
+
+        def one_cls(acc, qc, creps, cnorms):
+            v, i = csearch(qc + acc * 0.0, creps, cnorms)
+            return v[0, 0]
+
+        dt_c = timed_loop(one_cls, 50, qc, creps, cnorms)
+        gb_c = (creps.nbytes + cnorms.nbytes) / 1e9
+        print(json.dumps({"metric": f"cls_search_ms_per_query_{label}_batch32",
+                          "docs": args.docs, "k": args.k,
+                          "value": round(dt_c * 1000 / B, 4), "unit": "ms",
+                          "batch_ms": round(dt_c * 1000, 3),
+                          "effective_gbps": round(gb_c / dt_c, 1)}))
+        del creps, cnorms, cidx
 
 
 if __name__ == "__main__":
