@@ -63,6 +63,9 @@ def cmd_train(args):
     cfg.extra["bert_config"] = dataclasses.asdict(bert_config)
     import jax.numpy as jnp
     compute_dtype = jnp.bfloat16 if args.bf16_compute else jnp.float32
+    if args.attention_impl:
+        cfg.model = dataclasses.replace(cfg.model,
+                                        attention_impl=args.attention_impl)
     model = build_model(cfg.model, bert_config, dtype=compute_dtype)
     mesh = make_mesh(n_data=args.num_devices)
     trainer = Trainer(model, cfg, args.out, mesh=mesh,
@@ -542,6 +545,13 @@ def build_parser():
                         "in-batch-negative keys: threefry mask generation "
                         "is ~half the t=512 step cost; deterministic per "
                         "seed but a different stream than the default")
+    t.add_argument("--attention-impl", default=None,
+                   choices=["auto", "naive", "flash", "fused"],
+                   help="BERT attention backend; 'fused' runs dropout "
+                        "training passes through the pallas kernel that "
+                        "keeps probs+masks in VMEM and draws dropout bits "
+                        "from the TPU hardware PRNG (fastest; deterministic "
+                        "per seed, different mask stream than naive)")
     t.add_argument("--seq-buckets",
                    help="comma-separated length buckets, e.g. 192,320,512")
     t.add_argument("--shuffle-seed", type=int, default=None,

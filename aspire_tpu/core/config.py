@@ -40,6 +40,10 @@ class ModelHParams:
     max_seq_len: int = 512
     max_sents: int = 24
     consider_abs: bool = True
+    # Attention backend for the BERT encoders (models/bert.py _select_impl):
+    # 'auto' (naive; measured optimal for deterministic passes), 'fused'
+    # (pallas dropout-fused kernel on training passes), 'flash', 'naive'.
+    attention_impl: str = "auto"
 
     @property
     def consent(self) -> bool:

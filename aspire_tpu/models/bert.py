@@ -78,11 +78,11 @@ class BertEmbeddings(nn.Module):
         return x.astype(self.dtype)
 
 
-def _select_flash(attention_impl: str, seq_len: int, deterministic: bool,
-                  backend: str) -> bool:
+def _select_impl(attention_impl: str, deterministic: bool,
+                 dropout_p: float) -> str:
     """Backend-selection policy for BertSelfAttention (unit-testable: the
-    pallas flash kernel only lowers on TPU, so CI can't exercise the TPU
-    branch behaviorally).
+    pallas kernels only lower on TPU, so CI can't exercise the TPU
+    branches behaviorally).
 
     'auto' always picks the naive path: measured on v5e, XLA's fused naive
     attention beats the pallas flash kernel in EVERY regime this model
@@ -90,9 +90,18 @@ def _select_flash(attention_impl: str, seq_len: int, deterministic: bool,
     1.7x at t=512 b=32 fwd, 2.3x at t=512 fwd+bwd -- and it carries exact
     attention-prob dropout.  Flash's blockwise scan only pays off well past
     1k tokens; it stays available by explicit request for long-context
-    derivatives."""
-    del seq_len, deterministic, backend
-    return attention_impl == "flash"
+    derivatives.
+
+    'fused' (ops/pallas_attention.py) targets the one regime where naive is
+    NOT at the bound -- dropout TRAINING passes, where the [b, h, t, t]
+    mask bits + dropped probs round-trip HBM (~43 ms/step rbg, ~105 ms/step
+    threefry at the reference config).  Deterministic passes under 'fused'
+    fall back to naive, which is already optimal there."""
+    if attention_impl == "flash":
+        return "flash"
+    if attention_impl == "fused" and not deterministic and dropout_p > 0:
+        return "fused"
+    return "naive"
 
 
 class BertSelfAttention(nn.Module):
@@ -103,9 +112,16 @@ class BertSelfAttention(nn.Module):
     * 'flash': pallas flash_attention with segment-id padding masks; never
       materializes the score matrix.  NOTE: no attention-prob dropout on this
       path (hidden dropout remains); inference is equivalent to ~1e-3.
+    * 'fused': dropout-training passes run ops/pallas_attention.py -- the
+      whole scores/softmax/dropout/context pipeline VMEM-resident with
+      dropout bits from the TPU hardware PRNG, so neither probs nor masks
+      touch HBM (the dominant dropout cost; see _select_impl).  Same
+      P(keep) = 1-p semantics, different bit stream: deterministic per
+      seed, not bit-reproducible against a 'naive' run (the `--fast-rng`
+      trade).  Deterministic passes fall back to naive.
     * 'auto' (default): always naive -- measured faster than flash at every
       shape reachable under BERT's 512-position cap, and exact-dropout
-      (see _select_flash).  The full ts+ot train step at t=512/batch 3
+      (see _select_impl).  The full ts+ot train step at t=512/batch 3
       fits v5e VMEM on the naive path (verified on chip).
     """
 
@@ -119,13 +135,34 @@ class BertSelfAttention(nn.Module):
         h, nh = cfg.hidden_size, cfg.num_attention_heads
         hd = h // nh
         t = x.shape[1]
-        use_flash = _select_flash(self.attention_impl, t, deterministic,
-                                  jax.default_backend())
+        impl = _select_impl(self.attention_impl, deterministic,
+                            cfg.attention_probs_dropout_prob)
         dense = lambda name: nn.Dense(h, dtype=self.dtype, param_dtype=jnp.float32, name=name)
         q = dense("query")(x).reshape(*x.shape[:2], nh, hd)
         k = dense("key")(x).reshape(*x.shape[:2], nh, hd)
         v = dense("value")(x).reshape(*x.shape[:2], nh, hd)
-        if use_flash:
+        if impl == "fused":
+            from ..ops.pallas_attention import fused_dropout_attention
+            key = self.make_rng("dropout")
+            on_tpu = jax.default_backend() == "tpu"
+            if on_tpu:
+                seed, bits = jax.random.bits(key, (1,), jnp.uint32), None
+            else:
+                # the TPU interpreter stubs the hardware PRNG; draw the
+                # bits outside the kernel (CI / CPU path -- same math)
+                seed = jnp.zeros((1,), jnp.uint32)
+                bits = jax.random.bits(key, (x.shape[0], nh, t, t),
+                                       jnp.uint32)
+            ctx = fused_dropout_attention(
+                jnp.transpose(q, (0, 2, 1, 3)),
+                jnp.transpose(k, (0, 2, 1, 3)),
+                jnp.transpose(v, (0, 2, 1, 3)),
+                attn_bias[:, 0, 0, :], seed,
+                dropout_p=cfg.attention_probs_dropout_prob,
+                sm_scale=float(1.0 / np.sqrt(hd)),
+                rng_bits=bits, interpret=not on_tpu)
+            ctx = jnp.transpose(ctx, (0, 2, 1, 3))
+        elif impl == "flash":
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 flash_attention, SegmentIds)
             seg = jnp.where(attention_mask > 0, 0, 1).astype(jnp.int32)

@@ -28,7 +28,8 @@ class SentTripleModel:
                  dtype: Any = jnp.float32):
         self.hp = hp
         self.bert_config = bert_config
-        self.encoder = BertModel(bert_config, dtype=dtype)
+        self.encoder = BertModel(bert_config, dtype=dtype,
+                                 attention_impl=hp.attention_impl)
 
     def init_params(self, rng: jax.Array, seq_len: int = 64) -> dict:
         ids = jnp.zeros((1, seq_len), jnp.int32)
@@ -63,8 +64,10 @@ class ICTModel:
                  dtype: Any = jnp.float32):
         self.hp = hp
         self.bert_config = bert_config
-        self.sent_encoder = BertModel(bert_config, dtype=dtype)
-        self.context_encoder = BertModel(bert_config, dtype=dtype)
+        self.sent_encoder = BertModel(bert_config, dtype=dtype,
+                                      attention_impl=hp.attention_impl)
+        self.context_encoder = BertModel(
+            bert_config, dtype=dtype, attention_impl=hp.attention_impl)
 
     def init_params(self, rng: jax.Array, seq_len: int = 64) -> dict:
         r1, r2 = jax.random.split(rng)

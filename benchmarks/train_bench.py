@@ -71,6 +71,10 @@ def main():
                     help="PRNG impl for the step keys: rbg uses the TPU "
                          "hardware bit generator (dropout mask generation "
                          "is ~half the threefry step cost at t=512)")
+    ap.add_argument("--attn", default="auto",
+                    choices=["auto", "naive", "flash", "fused"],
+                    help="attention backend; 'fused' = pallas dropout-fused "
+                         "kernel on training passes (ops/pallas_attention.py)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu for smoke tests; "
                          "the JAX_PLATFORMS env var alone does not switch "
@@ -90,7 +94,7 @@ def main():
                       score_aggregation="l2wasserstein",
                       sent_sm_temp=5000.0, sent_loss_prop=1.0,
                       sentsup_loss_prop=1.0, max_seq_len=args.seq,
-                      max_sents=args.max_sents)
+                      max_sents=args.max_sents, attention_impl=args.attn)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     model = build_model(hp, cfg, dtype=dtype)
 
@@ -152,7 +156,7 @@ def main():
         "metric": "train_triples_per_sec_per_chip",
         "model": "sbalisentbienc(ts+ot)",
         "mode": args.mode + ("+nodrop" if args.no_dropout else ""),
-        "rng": args.rng,
+        "rng": args.rng, "attn": args.attn,
         "dtype": args.dtype, "seq_len": args.seq, "micro": args.micro,
         "accum": args.accum, "step_ms": round(dt * 1e3, 2),
         "value": round(triples, 2), "unit": "triples/s",

@@ -108,17 +108,21 @@ def test_bienc_scalar_mix(tiny_pair, rng):
     np.testing.assert_allclose(np.asarray(cls), want, rtol=1e-4, atol=2e-5)
 
 
-def test_flash_selection_policy():
-    """The TPU branch can't run on the CPU CI backend, so pin the policy
-    itself: flash ONLY by explicit request -- 'auto' is always the naive
-    path (measured faster at every <=512-token shape, and it carries exact
-    attention-prob dropout)."""
-    from aspire_tpu.models.bert import _select_flash
-    assert _select_flash("flash", 64, False, "cpu")
-    assert not _select_flash("auto", 512, True, "tpu")
-    assert not _select_flash("auto", 512, False, "tpu")   # training: dropout
-    assert not _select_flash("auto", 256, True, "tpu")
-    assert not _select_flash("naive", 512, True, "tpu")
+def test_attention_impl_selection_policy():
+    """The TPU branches can't run on the CPU CI backend, so pin the policy
+    itself: flash/fused ONLY by explicit request -- 'auto' is always the
+    naive path (measured faster at every <=512-token shape, and it carries
+    exact attention-prob dropout).  'fused' applies only where it helps
+    (dropout training passes) and falls back to naive for deterministic
+    passes, where naive is already at the FLOP bound."""
+    from aspire_tpu.models.bert import _select_impl
+    assert _select_impl("flash", False, 0.1) == "flash"
+    assert _select_impl("auto", True, 0.1) == "naive"
+    assert _select_impl("auto", False, 0.1) == "naive"   # training: dropout
+    assert _select_impl("naive", True, 0.1) == "naive"
+    assert _select_impl("fused", False, 0.1) == "fused"
+    assert _select_impl("fused", True, 0.1) == "naive"   # eval: no dropout
+    assert _select_impl("fused", False, 0.0) == "naive"  # p=0: nothing to fuse
 
 
 def test_auto_attention_trains_with_prob_dropout(rng):
