@@ -298,6 +298,44 @@ def _build_sent_index_cmd(args):
           f"buckets, {args.n_shards} shards) -> {args.out}")
 
 
+def _resolve_ot_params(args, model=None) -> tuple[float, float, float]:
+    """(temp, blur, scaling) for OT scoring/reranking.
+
+    Explicit flags win (warning on mismatch with the trained run); otherwise
+    the MODEL'S OWN hyperparameters -- the loaded eval model carries them
+    (AspireSimilarityModel.from_trained reads run_info.json exactly like the
+    reference re-reads run_info, pp_gen_nearest.py:96-98; configs drive
+    sent_sm_temp, miswordbienc-otstuni-best.json:5-7) -- falling back to the
+    run_dir's run_info.json directly, then to the reference otstuni defaults
+    (5000/0.05/0.9) only when no trained source exists."""
+    defaults = {"temp": 5000.0, "blur": 0.05, "scaling": 0.9}
+    trained = {}
+    if model is not None and hasattr(model, "ot_temp"):
+        trained = {"temp": model.ot_temp, "blur": model.blur,
+                   "scaling": model.scaling}
+    elif args.run_dir:
+        info_path = os.path.join(args.run_dir, "run_info.json")
+        if os.path.exists(info_path):
+            from .core.config import RunConfig
+            rc = RunConfig.from_run_info(info_path)
+            trained = {"temp": rc.model.sent_sm_temp,
+                       "blur": rc.model.geoml_blur,
+                       "scaling": rc.model.geoml_scaling}
+    out = {}
+    for key, flag in (("temp", args.ot_temp), ("blur", args.ot_blur),
+                      ("scaling", args.ot_scaling)):
+        if flag is not None:
+            if trained and abs(flag - trained[key]) > 1e-9:
+                logging.warning(
+                    "--ot-%s=%g overrides the trained model's %g "
+                    "(run_info.json); reranking will not match the "
+                    "model's training-time scoring", key, flag, trained[key])
+            out[key] = float(flag)
+        else:
+            out[key] = float(trained.get(key, defaults[key]))
+    return out["temp"], out["blur"], out["scaling"]
+
+
 def _resolve_ot_solver(name: str) -> str:
     """'auto' -> pallas on TPU, xla elsewhere (interpret-mode pallas off-TPU
     is orders of magnitude slower and deviates ~2e-3 from parity)."""
@@ -307,12 +345,136 @@ def _resolve_ot_solver(name: str) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def _pool_id_matrix(pool: dict, pid2row: dict, qpids: list, align: int = 8):
+    """qpid -> cand pid lists to a padded i32[B, P] index-row matrix.
+
+    P = largest pool size rounded up to `align` (-1 pads).  Every pool
+    candidate MUST be in the index -- the pool protocol scores the FULL
+    pool (pp_gen_nearest.py:241-283); a missing candidate is a corpus/pool
+    mismatch, reported by name instead of silently dropped."""
+    import numpy as np
+    sizes = [len(pool[q]["cands"]) for q in qpids]
+    pmax = max(align, -(-max(sizes) // align) * align)
+    ids = np.full((len(qpids), pmax), -1, np.int32)
+    for i, q in enumerate(qpids):
+        for j, c in enumerate(pool[q]["cands"]):
+            row = pid2row.get(c, pid2row.get(str(c)))
+            if row is None:
+                raise ValueError(
+                    f"pool candidate {c!r} (query {q!r}) is not in the "
+                    "index: the pool protocol ranks the FULL candidate pool "
+                    "(pp_gen_nearest.py:241-283) -- rebuild the index over "
+                    "a corpus containing every pool candidate, or use "
+                    "--protocol global for corpus-wide retrieval")
+            ids[i, j] = row
+    return ids
+
+
+def _rank_pools(args, dataset, model, mesh, index_type: str) -> None:
+    """POOL protocol: score each query against exactly its candidate pool.
+
+    This is the reference's primary ranking protocol
+    (caching_scoringmodel_rank_pool_sent, pp_gen_nearest.py:241-283; every
+    rank_pool* variant, :729-985): the full pool is ranked -- never global
+    top-k -- so `rank -> eval_pool_ranking` reproduces the paper's
+    evaluation.  Candidate reps are gathered on device from the index and
+    scored with the model's own aggregation (OT with the trained
+    hyperparameters / l2max / jointsm / cosine max-sim / CLS -L2) at exact
+    precision in ONE jitted dispatch over all queries.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+    from .index.dense import DenseBucketIndex, flatten_device_buckets
+
+    pool = dataset.get_test_pool(facet=args.facet)
+    qpids = list(pool)
+    q_encs = model.get_encoding(qpids, dataset)
+
+    if index_type == "cls":
+        if args.facet:
+            raise ValueError("a CLS index holds one whole-abstract vector "
+                             "per doc; faceted ranking needs a multi-vector "
+                             "index")
+        if args.rerank == "ot":
+            raise ValueError("OT rerank needs sentence reps; a CLS index "
+                             "ranks by whole-abstract L2 only")
+        from .index.cls import ClsIndex
+        from .index.serve import make_cls_pool_rank_batched
+        idx = ClsIndex.load(args.index)
+        pid2row = {p: i for i, p in enumerate(idx.pids)}
+        cand_ids = _pool_id_matrix(pool, pid2row, qpids)
+        q_arr = np.stack([np.asarray(q_encs[q], np.float32).reshape(-1)
+                          for q in qpids])
+        reps, norms = idx.device_arrays(mesh)
+        fn = make_cls_pool_rank_batched(mesh)
+        sims = np.asarray(fn(jnp.asarray(q_arr), jnp.asarray(cand_ids),
+                             reps, norms))
+    else:
+        idx = DenseBucketIndex.load(args.index)
+        if idx.score_type == "cosine":
+            # reference parity: the sent-bert family ranks by cosine max-sim
+            # only (pp_gen_nearest.py:793-794); OT is an aspire multi-vector
+            # scorer with an L2 ground cost
+            if args.rerank == "ot":
+                raise ValueError("OT rerank applies to aspire (l2) indexes; "
+                                 "a --family sent index ranks by cosine "
+                                 "max-sim")
+            agg = "cosine_max"
+        else:
+            # the model's own aggregation scores the pool (the reference's
+            # caching scorer uses the trained model's dist fn); an explicit
+            # --rerank ot forces OT scoring of the multi-vector reps
+            agg = "ot" if args.rerank == "ot" else getattr(model, "agg",
+                                                           "l2max")
+        logging.info("pool protocol: scoring %d query pools with agg=%s",
+                     len(qpids), agg)
+        pid2row = {p: i for i, p in enumerate(idx.pids)}
+        cand_ids = _pool_id_matrix(pool, pid2row, qpids)
+        q_list = []
+        for qpid in qpids:
+            q = q_encs[qpid]
+            if args.facet:
+                q = model.get_faceted_encoding(q, args.facet,
+                                               dataset.get(qpid))
+            q = np.asarray(q, np.float32)
+            if idx.score_type == "cosine":
+                q = _unit_rows(q)   # match the unit-normalized storage
+            q_list.append(q)
+        qmax = max(8, -(-max(len(q) for q in q_list) // 8) * 8)
+        q_arr = np.zeros((len(q_list), qmax, idx.dim), np.float32)
+        q_lens = np.ones((len(q_list),), np.int32)
+        for i, q in enumerate(q_list):
+            q_arr[i, : len(q)] = q
+            q_lens[i] = len(q)
+        ot_temp, ot_blur, ot_scaling = _resolve_ot_params(args, model)
+        from .index.serve import make_pool_rank_batched
+        dev = idx.device_arrays(mesh)
+        fn = make_pool_rank_batched(
+            len(dev), pool_size=cand_ids.shape[1], max_sents=args.max_sents,
+            agg=agg, int8=idx.is_int8, mesh=mesh, blur=ot_blur,
+            scaling=ot_scaling, temp=ot_temp, solver=args.ot_solver,
+            score_type=idx.score_type)
+        sims = np.asarray(fn(jnp.asarray(q_arr), jnp.asarray(q_lens),
+                             jnp.asarray(cand_ids),
+                             *flatten_device_buckets(dev),
+                             *idx.device_pos_arrays(mesh)))
+    ranked = {}
+    for i, qpid in enumerate(qpids):
+        cands = pool[qpid]["cands"]
+        s = sims[i, : len(cands)]
+        order = np.argsort(-s, kind="stable")   # stable: ties keep pool order
+        ranked[qpid] = [[cands[j], float(s[j])] for j in order]
+    _write_rank_outputs(args, dataset, ranked)
+
+
 def cmd_rank(args):
     """Rank query pools against a dense index: the production serving CLI.
 
-    All pool queries are encoded (h5-cached with --cache), batched through
-    ONE make_dense_search_batched call (sharded over a serving mesh with
-    --n-shards, intermediate bounded by --q-chunk), then OT-reranked per
+    Default --protocol pool scores each query against exactly its candidate
+    pool (the reference's primary protocol; see _rank_pools).  --protocol
+    global instead retrieves top-k over the WHOLE corpus: queries batch
+    through ONE make_dense_search_batched call (sharded over a serving mesh
+    with --n-shards, intermediate bounded by --q-chunk), then OT-rerank per
     query.  Mirrors pp_gen_nearest.py:207-363 ranking + :575-635 readable
     neighbour dumps + :125-129 rep caching.
     """
@@ -336,6 +498,10 @@ def cmd_rank(args):
     if args.n_shards > 1:
         from .parallel.mesh import make_serving_mesh
         mesh = make_serving_mesh(n_shards=args.n_shards)
+
+    if args.protocol == "pool":
+        _rank_pools(args, dataset, model, mesh, index_type)
+        return
 
     if index_type == "cls":
         # whole-abstract bi-encoder corpus (reference CLS ranking,
@@ -426,10 +592,11 @@ def cmd_rank(args):
         # search/gather_doc_reps/ot_rerank pipeline, tests/test_fused_query.py)
         from .index.serve import make_fused_query_batched
         pos = idx.device_pos_arrays(mesh)
+        ot_temp, ot_blur, ot_scaling = _resolve_ot_params(args, model)
         fused = make_fused_query_batched(
             len(dev), k=args.k, max_sents=args.max_sents, int8=idx.is_int8,
-            mesh=mesh, q_chunk=q_chunk, temp=args.ot_temp,
-            solver=args.ot_solver)
+            mesh=mesh, q_chunk=q_chunk, temp=ot_temp, blur=ot_blur,
+            scaling=ot_scaling, solver=args.ot_solver)
         _, docs, sims = fused(jnp.asarray(q_arr), jnp.asarray(q_lens),
                               *flat, *pos)
         docs, sims = np.asarray(docs), np.asarray(sims)
@@ -440,12 +607,15 @@ def cmd_rank(args):
             ranked[qpid] = [[idx.pids[docs_i[j]], float(sims_i[j])]
                             for j in order]
     else:
-        # cosine (sent-family) indexes: the scan IS the final ranking, so
-        # run it at HIGHEST precision (no-op for bf16 storage)
+        # --rerank none: the scan IS the final ranking for EVERY score_type
+        # (cosine sent-family AND l2 aspire indexes), so run it at HIGHEST
+        # precision -- default MXU precision rounds f32 inputs to bf16 and
+        # flips 2-3 near-tie top-k entries per query (precision audit,
+        # RESULTS_r3.md); the reference's final l2max scoring is exact numpy
+        # (pp_gen_nearest.py:939-944).  No-op for bf16/int8 storage.
         search = make_dense_search_batched(len(dev), k=args.k,
                                            int8=idx.is_int8, mesh=mesh,
-                                           q_chunk=q_chunk,
-                                           exact=idx.score_type == "cosine")
+                                           q_chunk=q_chunk, exact=True)
         scores, docs = search(jnp.asarray(q_arr), jnp.asarray(q_lens), *flat)
         scores, docs = np.asarray(scores), np.asarray(docs)
         for i, qpid in enumerate(qpids):
@@ -615,9 +785,24 @@ def build_parser():
     r.add_argument("--model", required=True)
     r.add_argument("--out", required=True)
     r.add_argument("--facet")
-    r.add_argument("--k", type=int, default=100)
+    r.add_argument("--protocol", choices=["pool", "global"], default="pool",
+                   help="pool (default): rank each query's FULL candidate "
+                        "pool from test-pid2anns -- the reference's "
+                        "evaluation protocol (pp_gen_nearest.py:241-283); "
+                        "global: corpus-wide top-k retrieval + optional OT "
+                        "rerank (a serving capability beyond the reference)")
+    r.add_argument("--k", type=int, default=100,
+                   help="top-k for --protocol global (pool mode ranks the "
+                        "whole pool)")
     r.add_argument("--rerank", choices=["none", "ot"], default="none")
-    r.add_argument("--ot-temp", type=float, default=5000.0)
+    r.add_argument("--ot-temp", type=float, default=None,
+                   help="marginal softmax temp; default: the trained run's "
+                        "sent_sm_temp (run_info.json), else 5000")
+    r.add_argument("--ot-blur", type=float, default=None,
+                   help="Sinkhorn blur; default: trained geoml_blur, else .05")
+    r.add_argument("--ot-scaling", type=float, default=None,
+                   help="eps-annealing rate; default: trained geoml_scaling, "
+                        "else .9")
     r.add_argument("--ot-solver", choices=["auto", "pallas", "xla"],
                    default="auto",
                    help="rerank solver: auto (pallas on TPU -- 1.4-3x at "
@@ -650,7 +835,8 @@ def build_parser():
     c.set_defaults(fn=cmd_compare)
 
     pp = sub.add_parser("preprocess", help="dataset preparation pipelines")
-    pp.add_argument("action", choices=["gorc", "cocit-examples", "relish",
+    pp.add_argument("action", choices=["gorc", "cocit-examples",
+                                       "regen-examples", "relish",
                                        "treccovid", "scidocs", "filter-cocits"])
     pp.add_argument("--in-path", required=True)
     pp.add_argument("--out-path", required=True)

@@ -149,33 +149,84 @@ def run_gorc_pipeline(corpus_dir: str, out_dir: str, processes: int | None = Non
         pickle.dump(cocited, f)
 
     # ---- stage 3: filter + examples ----
-    pid2abstract = {}
-    for p in batch_files:
-        path = out / f"abstracts-{_batch_tag(p)}.jsonl"
-        with codecs.open(str(path), "r", "utf-8") as f:
-            for line in f:
-                d = json.loads(line)
-                pid2abstract[d["paper_id"]] = {"title": d["title"],
-                                               "abstract": d["abstract"]}
-    filtered = pp.filter_cocitation_contexts(cocited)
-    # keep only co-citations whose papers all have usable abstracts
-    # (reference cocit_corpus_to_jsonl joins on the gathered abstracts)
-    usable = {pids: ctxs for pids, ctxs in filtered.items()
-              if all(p in pid2abstract for p in pids)}
-    counts = pp.generate_examples_cocitabs(
-        usable, pid2abstract, str(out), train_size=train_size,
-        dev_size=dev_size, aligner=aligner, suffix=suffix)
+    counts, n_abstracts, n_usable, sent_counts = _examples_from_partials(
+        out, cocited, train_size=train_size, dev_size=dev_size,
+        aligner=aligner, suffix=suffix)
 
     summary = {
         "batch_files": len(batch_files),
         "papers": sum(s["papers"] for s in stats),
         "context_rows": sum(s["contexts"] for s in stats),
-        "abstracts": len(pid2abstract),
+        "abstracts": n_abstracts,
         "cocited_sets": len(cocited),
         "single_cited": len(single),
-        "filtered_sets": len(usable),
+        "filtered_sets": n_usable,
         "examples": counts,
+        "sent_examples": sent_counts,
     }
     with open(out / "gorc-summary.json", "w") as f:
         json.dump(summary, f, indent=2)
     return summary
+
+
+def _load_abstract_partials(partials_dir: pathlib.Path) -> dict:
+    pid2abstract = {}
+    for path in sorted(partials_dir.glob("abstracts-*.jsonl")):
+        with codecs.open(str(path), "r", "utf-8") as f:
+            for line in f:
+                d = json.loads(line)
+                pid2abstract[d["paper_id"]] = {"title": d["title"],
+                                               "abstract": d["abstract"]}
+    return pid2abstract
+
+
+def _examples_from_partials(out: pathlib.Path, cocited: dict,
+                            train_size: int, dev_size: int,
+                            aligner=None, suffix: str | None = None,
+                            example_dir: pathlib.Path | None = None):
+    """Stage 3: filter co-citations, join abstracts, emit cocit-abstract
+    triples AND cosentbert sentence-pair examples
+    (pre_proc_cocits.py:179-318,378-537)."""
+    pid2abstract = _load_abstract_partials(out)
+    filtered = pp.filter_cocitation_contexts(cocited)
+    # keep only co-citations whose papers all have usable abstracts
+    # (reference cocit_corpus_to_jsonl joins on the gathered abstracts)
+    usable = {pids: ctxs for pids, ctxs in filtered.items()
+              if all(p in pid2abstract for p in pids)}
+    dest = str(example_dir or out)
+    counts = pp.generate_examples_cocitabs(
+        usable, pid2abstract, dest, train_size=train_size,
+        dev_size=dev_size, aligner=aligner, suffix=suffix)
+    # sentence-paraphrase pairs from multi-context co-citations: the
+    # cosentbert training data (generate_examples_sent_rand); emitted
+    # unconditionally so the sent-encoder half of the two-model pipeline
+    # trains from the same mining pass.  Source = the context-filtered sets
+    # (reference filter_cocitation_sentences needs contexts only, not the
+    # cited papers' abstracts, pre_proc_cocits.py:179-264)
+    sent_counts = pp.generate_examples_sent_rand(filtered, dest)
+    return counts, len(pid2abstract), len(usable), sent_counts
+
+
+def regenerate_examples(partials_dir: str, example_dir: str,
+                        area: str = "all", train_size: int = 1_276_820,
+                        dev_size: int = 10_000, aligner=None,
+                        suffix: str | None = None) -> dict:
+    """Re-run example generation from an existing gorc pass's partials.
+
+    Reads cocitpids2contexts-{area}.pickle + abstracts-*.jsonl partials from
+    a previous run_gorc_pipeline out_dir and regenerates train/dev examples
+    into `example_dir` -- the hook for swapping the sentence ALIGNER after
+    training a sentence encoder on the same mining pass (the reference's
+    two-model pipeline: pre_proc_cocits.py mines, sentsim trains, then
+    generate_examples_aligned_cocitabs_rand aligns with the trained
+    encoder, :378-537)."""
+    src = pathlib.Path(partials_dir)
+    with open(src / f"cocitpids2contexts-{area}.pickle", "rb") as f:
+        cocited = pickle.load(f)
+    dest = pathlib.Path(example_dir)
+    dest.mkdir(parents=True, exist_ok=True)
+    counts, n_abs, n_usable, sent_counts = _examples_from_partials(
+        src, cocited, train_size=train_size, dev_size=dev_size,
+        aligner=aligner, suffix=suffix, example_dir=dest)
+    return {"abstracts": n_abs, "filtered_sets": n_usable,
+            "examples": counts, "sent_examples": sent_counts}

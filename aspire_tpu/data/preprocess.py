@@ -459,6 +459,21 @@ def treccovid_to_common(in_path: str, out_path: str, max_queries_per_topic: int 
 
 
 # ----------------------------------------------------------------------
+def _extra_aligner(extra: dict):
+    """Pop aligner_* keys from an --extra dict and build the sentence
+    aligner: aligner_run_dir (+ aligner_tokenizer, optional aligner_model)
+    selects a trained cosentbert/ictsentbert run (data.align), mirroring the
+    reference's SentenceTransformer alignment encoder
+    (pre_proc_cocits.py:447-455)."""
+    run_dir = extra.pop("aligner_run_dir", None)
+    if not run_dir:
+        return None
+    from .align import trained_sent_aligner
+    tok = extra.pop("aligner_tokenizer")
+    name = extra.pop("aligner_model", "cosentbert")
+    return trained_sent_aligner(run_dir, tok, model_name=name)
+
+
 def main(args):
     extra = json.loads(args.extra) if args.extra else {}
     if args.action == "scidocs":
@@ -479,14 +494,25 @@ def main(args):
     elif args.action == "gorc":
         # end-to-end S2ORC pass: batch-file dir -> train/dev cocit jsonl
         from .corpus import run_gorc_pipeline
-        out = run_gorc_pipeline(args.in_path, args.out_path, **extra)
+        aligner = _extra_aligner(extra)
+        out = run_gorc_pipeline(args.in_path, args.out_path, aligner=aligner,
+                                **extra)
+    elif args.action == "regen-examples":
+        # re-run example generation from an existing gorc pass's partials
+        # with a (new) aligner -- the two-model supervision pipeline hook
+        from .corpus import regenerate_examples
+        aligner = _extra_aligner(extra)
+        out = regenerate_examples(args.in_path, args.out_path,
+                                  aligner=aligner, **extra)
     elif args.action == "cocit-examples":
         import pickle
+        aligner = _extra_aligner(extra)
         with open(args.in_path, "rb") as f:
             cocits = pickle.load(f)
         with open(extra.pop("abstracts"), "rb") as f:
             pid2abstract = pickle.load(f)
-        out = generate_examples_cocitabs(cocits, pid2abstract, args.out_path, **extra)
+        out = generate_examples_cocitabs(cocits, pid2abstract, args.out_path,
+                                         aligner=aligner, **extra)
     else:
         raise ValueError(args.action)
     print(json.dumps(out))

@@ -112,7 +112,57 @@ def rank_candidates(scores: dict) -> dict:
             for qid, cands in scores.items()}
 
 
-def ranked_relevances(ranked: dict, gold: dict) -> dict:
-    """{qid: [(cand, score)]} + gold {qid: {cand: rel}} -> ranked judgements."""
-    return {qid: [gold[qid][cand] for cand, _ in cands]
-            for qid, cands in ranked.items()}
+class PoolMismatchError(ValueError):
+    """Ranked output disagrees with the gold candidate pools.
+
+    The reference's evaluation is POOL RE-RANKING: every ranked candidate
+    must come from the query's gold pool, and the full pool must be ranked
+    (pp_gen_nearest.py:241-283).  Global-top-k output over a corpus that is
+    a superset of the pools violates both; this error names the first
+    offender instead of dying in a bare KeyError deep in metric code."""
+
+
+def ranked_relevances(ranked: dict, gold: dict,
+                      on_missing: str = "error") -> dict:
+    """{qid: [(cand, score)]} + gold {qid: {cand: rel}} -> ranked judgements.
+
+    on_missing: 'error' (default) raises PoolMismatchError on the first
+    out-of-pool candidate or query without gold anns.  'intersect' scores
+    the gold-pool intersection with a loud warning: out-of-pool candidates
+    are dropped, and pool candidates the ranking OMITTED are appended at the
+    end as if ranked last -- metric denominators are derived from the
+    judgement list itself (compute_metrics), so omitted relevant docs must
+    stay IN the list to count as misses; silently shrinking the list would
+    inflate recall/MAP instead."""
+    import logging
+    out = {}
+    n_dropped = n_appended = 0
+    for qid, cands in ranked.items():
+        if qid not in gold:
+            raise PoolMismatchError(
+                f"query {qid!r} has ranked output but no gold annotations: "
+                "the ranked file and test-pid2anns pools disagree (wrong "
+                "--dataset/--facet, or ranking ran on a different corpus)")
+        g = gold[qid]
+        missing = [c for c, _ in cands if c not in g]
+        if missing and on_missing == "error":
+            raise PoolMismatchError(
+                f"candidate {missing[0]!r} ranked for query {qid!r} is not "
+                f"in its gold pool ({len(missing)}/{len(cands)} ranked "
+                "candidates are out-of-pool). The ranking was computed over "
+                "a corpus larger than the query's candidate pool -- use the "
+                "pool protocol (`rank` ranks pools by default when the "
+                "dataset ships test-pid2anns) or pass on_missing="
+                "'intersect' to score the gold-pool intersection only")
+        n_dropped += len(missing)
+        seen = {c for c, _ in cands if c in g}
+        omitted = [c for c in g if c not in seen]
+        n_appended += len(omitted)
+        out[qid] = [g[c] for c, _ in cands if c in g] + [g[c] for c in omitted]
+    if n_dropped or n_appended:
+        logging.getLogger(__name__).warning(
+            "pool-incomplete ranking scored on the gold-pool INTERSECTION: "
+            "dropped %d out-of-pool ranked candidates, appended %d omitted "
+            "pool candidates at the bottom of their rankings (they count as "
+            "worst-ranked in recall/MAP/NDCG)", n_dropped, n_appended)
+    return out

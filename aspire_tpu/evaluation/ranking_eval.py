@@ -34,8 +34,13 @@ def ranked_pool_filename(data_dir: str, dataset: str, method: str,
 
 def eval_pool_ranking(data_dir: str, dataset_name: str, method: str,
                       dataset_dir: str | None = None,
-                      facet: str | None = None) -> dict:
-    """-> {split: aggregate metrics}; prints the headline row per split."""
+                      facet: str | None = None,
+                      on_missing: str = "error") -> dict:
+    """-> {split: aggregate metrics}; prints the headline row per split.
+
+    on_missing: 'error' (default) raises protocols.PoolMismatchError when
+    the ranked file contains out-of-pool candidates; 'intersect' scores the
+    gold-pool intersection with omitted pool members ranked last (loudly)."""
     ds = EvalDataset(dataset_name, dataset_dir or data_dir)
     with codecs.open(ranked_pool_filename(data_dir, dataset_name, method, facet),
                      "r", "utf-8") as f:
@@ -46,7 +51,7 @@ def eval_pool_ranking(data_dir: str, dataset_name: str, method: str,
         # accept both [[cand, score], ...] and [cand, ...] formats
         ranked_pairs[qid] = [(c[0], c[1]) if isinstance(c, (list, tuple))
                              else (c, 0.0) for c in cands]
-    rels = ranked_relevances(ranked_pairs, gold)
+    rels = ranked_relevances(ranked_pairs, gold, on_missing=on_missing)
     qmetrics = per_query_metrics(rels, threshold_grade=ds.get_threshold_grade())
 
     results = aggregate_protocol(ds, qmetrics, facet)

@@ -365,6 +365,138 @@ def make_fused_query_batched(n_buckets: int, k: int, max_sents: int,
     return jax.jit(fn)
 
 
+def make_pool_rank_batched(n_buckets: int, pool_size: int, max_sents: int,
+                           agg: str = "ot", int8: bool = False,
+                           mesh: Mesh | None = None, blur: float = 0.05,
+                           scaling: float = 0.9, temp: float = 1.0,
+                           max_iters: int = 128, solver: str = "xla",
+                           score_type: str = "l2"):
+    """POOL-restricted ranking: score each query against exactly its
+    candidate-pool ids, all pool members, no retrieval stage.
+
+    The reference's primary evaluation protocol is pool RE-RANKING, not
+    global retrieval: `caching_scoringmodel_rank_pool_sent` iterates
+    qpid -> cand_pids and scores the full pool per query
+    (pp_gen_nearest.py:241-283), and every rank_pool* variant takes the pool
+    as input (:729-985).  This builder runs that protocol on the serving
+    index: candidate reps are gathered ON DEVICE from the dense buckets by
+    doc id and scored with the model's own aggregation in one jitted
+    dispatch for the whole query set.
+
+    fn(q [B, qmax, d], q_lens i32[B], cand_ids i32[B, P] (-1 = pad),
+       *bucket_arrays, doc_bucket, doc_row, doc_lens) -> sims f32[B, P]
+    (NEG at pad slots).  Extra args from DenseBucketIndex.device_arrays(mesh)
+    + .device_pos_arrays(mesh).
+
+    agg: 'ot' (otAspire Sinkhorn; diameter='pair' so scores are bit-equal to
+    the evaluate path's per-pair scoring, evaluation/models.py _pair_scores),
+    'l2max' (tsAspire single match), or 'cosine_max' (sent-family indexes --
+    reps stored unit-normalized, scores returned as cosine = 1 - L2^2/2).
+    The exact-precision scorers (ops.distances, HIGHEST contraction) run
+    here: the pool scan IS the final ranking.
+
+    mesh: each shard gathers + scores only the candidate rows it owns (docs
+    never span shards), then one psum of the [B, P] score block crosses ICI.
+    The per-pair annealing diameter is exact under sharding for free: the
+    owner shard holds the candidate's full rows, and non-owner scores are
+    zeroed before the psum.
+    """
+    from .dense import _unflatten_buckets
+
+    per = 4 if int8 else 3
+    axis = None if mesh is None else "shard"
+    if agg == "cosine_max" and score_type != "cosine":
+        raise ValueError("cosine_max pool scoring expects a --family sent "
+                         "index (unit-normalized reps)")
+
+    def _local(q, q_lens, cand_ids, *rest):
+        flat, (db, dr, dl) = rest[:-3], rest[-3:]
+        buckets = _unflatten_buckets(flat, n_buckets, int8)
+
+        def _one(xs):
+            qi, ql, cids = xs
+            emb, cl, owned, valid = _gather_candidates(
+                buckets, db, dr, dl, cids, max_sents, axis_name=axis)
+            npool = cids.shape[0]
+            qt = MultiVec(embed=jnp.broadcast_to(qi[None], (npool,) + qi.shape),
+                          lens=jnp.broadcast_to(ql[None], (npool,)))
+            cm = MultiVec(embed=emb, lens=cl)
+            if agg == "ot":
+                s, _ = wasserstein_dist(qt, cm, blur=blur, scaling=scaling,
+                                        temp=temp, return_pair_sims=True,
+                                        max_iters=max_iters, solver=solver,
+                                        diameter="pair")
+            elif agg in ("l2max", "cosine_max"):
+                s, _ = l2max_dist(qt, cm, return_pair_sims=True)
+                if agg == "cosine_max":
+                    # unit vectors: cos = 1 - L2^2/2 (build stored unit rows)
+                    s = 1.0 - s * s / 2.0
+            elif agg == "jointsm":
+                from ..ops.distances import jointsm_dist
+                neg, _ = jointsm_dist(qt, cm, return_pair_sims=True)
+                s = -neg   # poly-encoder returns the negated summed score
+            else:
+                raise ValueError(f"unknown pool agg {agg}")
+            return jnp.where(owned, s, 0.0) if mesh is not None else s
+
+        sims = jax.lax.map(_one, (q.astype(jnp.float32),
+                                  q_lens.astype(jnp.int32), cand_ids))
+        if mesh is not None:
+            sims = jax.lax.psum(sims, "shard")
+        return jnp.where(cand_ids >= 0, sims, NEG)
+
+    if mesh is None:
+        return jax.jit(_local)
+    in_specs = tuple([P(), P(), P()] + [P("shard")] * (per * n_buckets)
+                     + [P(), P(), P()])
+    fn = shard_map(_local, mesh=mesh, in_specs=in_specs,
+                   out_specs=P(), check_vma=False)
+    return jax.jit(fn)
+
+
+def make_cls_pool_rank_batched(mesh: Mesh | None = None):
+    """Pool-restricted CLS ranking: -L2 of each query's CLS vector against
+    exactly its candidate pool (reference rank_pool, pp_gen_nearest.py:
+    638-726, which runs sklearn NN per pool).
+
+    fn(q [B, d], cand_ids i32[B, P] (-1 = pad), reps [n_pad, d], norms
+    [n_pad]) -> sims f32[B, P] = -||q - c|| (NEG at pads).  HIGHEST
+    precision -- this IS the final ranking (index.cls._local_topk rationale).
+    Under a mesh each shard scores the rows it owns; one [B, P] psum merges.
+    """
+
+    def _local(q, cand_ids, reps, norms):
+        valid = cand_ids >= 0
+        local_n = reps.shape[0]
+        if mesh is None:
+            rows = jnp.where(valid, cand_ids, 0)
+            own = valid
+        else:
+            me = jax.lax.axis_index("shard")
+            own = valid & (cand_ids // local_n == me)
+            rows = jnp.where(own, cand_ids % local_n, 0)
+        c = reps[rows]                                  # [B, P, d] storage
+        cn = norms[rows]
+        qf = q.astype(jnp.float32)
+        qc = jnp.einsum("bd,bpd->bp", q.astype(reps.dtype), c,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        d2 = jnp.maximum(cn + jnp.sum(qf * qf, axis=1)[:, None] - 2.0 * qc,
+                         0.0)
+        s = -jnp.sqrt(d2)
+        s = jnp.where(own, s, 0.0) if mesh is not None else s
+        if mesh is not None:
+            s = jax.lax.psum(s, "shard")
+        return jnp.where(cand_ids >= 0, s, NEG)
+
+    if mesh is None:
+        return jax.jit(_local)
+    fn = shard_map(_local, mesh=mesh,
+                   in_specs=(P(), P(), P("shard"), P("shard")),
+                   out_specs=P(), check_vma=False)
+    return jax.jit(fn)
+
+
 def sharded_l2max_search(index, mesh: Mesh, q_sents: np.ndarray,
                          q_len: int, k: int = 50):
     """Convenience one-shot sharded search from a host-side index."""

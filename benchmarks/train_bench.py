@@ -67,6 +67,11 @@ def main():
     ap.add_argument("--no-dropout", action="store_true",
                     help="diagnostic: run the step with deterministic "
                          "encodes to isolate dropout/RNG cost")
+    ap.add_argument("--no-hidden-dropout", action="store_true",
+                    help="diagnostic: hidden_dropout_prob=0 (embedding + "
+                         "per-layer output dropout off, attention-prob "
+                         "dropout KEPT) -- isolates the hidden/embedding "
+                         "dropout HBM+RNG cost from the attention treatment")
     ap.add_argument("--rng", choices=["threefry", "rbg"], default="threefry",
                     help="PRNG impl for the step keys: rbg uses the TPU "
                          "hardware bit generator (dropout mask generation "
@@ -90,6 +95,9 @@ def main():
 
     cfg = BertConfig.tiny(max_position_embeddings=args.seq) if args.tiny \
         else BertConfig()
+    if args.no_hidden_dropout:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, hidden_dropout_prob=0.0)
     hp = ModelHParams(model_name="sbalisentbienc",
                       score_aggregation="l2wasserstein",
                       sent_sm_temp=5000.0, sent_loss_prop=1.0,
@@ -155,7 +163,8 @@ def main():
     print(json.dumps({
         "metric": "train_triples_per_sec_per_chip",
         "model": "sbalisentbienc(ts+ot)",
-        "mode": args.mode + ("+nodrop" if args.no_dropout else ""),
+        "mode": args.mode + ("+nodrop" if args.no_dropout else "")
+                + ("+nohidden" if args.no_hidden_dropout else ""),
         "rng": args.rng, "attn": args.attn,
         "dtype": args.dtype, "seq_len": args.seq, "micro": args.micro,
         "accum": args.accum, "step_ms": round(dt * 1e3, 2),

@@ -209,6 +209,22 @@ def stage_data(root: pathlib.Path, sc: dict, seed: int = 0) -> None:
     }
     (root / "config.json").write_text(json.dumps(cfg, indent=1))
 
+    # ---- sentence-encoder (cosentbert) config: the ALIGNER half of the
+    #      two-model pipeline (reference main_sentsim.py + cosentbert) ----
+    sent_cfg = {
+        "model_name": "cosentbert", "base-pt-layer": str(tok_dir),
+        "score_aggregation": "l2max", "train_suffix": "cocitsents",
+        "train_size": summary["sent_examples"]["train"],
+        "dev_size": summary["sent_examples"]["dev"],
+        "num_epochs": sc["epochs"], "batch_size": max(8, sc["micro"]),
+        "accumulated_batch_size": -1, "update_rule": "adam",
+        "learning_rate": sc["lr"], "num_warmup_steps": sc["warmup"],
+        "decay_lr_every": 1, "lr_decay_method": "warmuplin",
+        "decay_lr_by": 0.95, "es_check_every": sc["es_check_every"],
+        "fine_tune": True,
+    }
+    (root / "config-sentenc.json").write_text(json.dumps(sent_cfg, indent=1))
+
     # ---- eval corpus + query pools (gold relevance = topic identity) ----
     eval_dir = root / "eval"
     eval_dir.mkdir(exist_ok=True)
@@ -261,10 +277,39 @@ def run_cli(*args: str) -> None:
     print(f"[cli] done in {time.time() - t0:.1f}s", flush=True)
 
 
-def stage_train(root: pathlib.Path, sc: dict) -> None:
+def stage_sentenc(root: pathlib.Path, sc: dict) -> None:
+    """Train the cosentbert sentence encoder on the mined sentence pairs
+    (reference main_sentsim.py train_model)."""
+    args = ["train", "--config", str(root / "config-sentenc.json"),
+            "--train", str(root / "triples" / "train-cocitsents.jsonl"),
+            "--dev", str(root / "triples" / "dev-cocitsents.jsonl"),
+            "--out", str(root / "run-sentenc"),
+            "--tokenizer", str(root / "tokenizer"),
+            "--seq-len", str(min(64, sc["seq_len"])),
+            "--log_fname", str(root / "train-sentenc.log")]
+    if sc["tiny"]:
+        args.append("--tiny")
+    run_cli(*args)
+
+
+def stage_align(root: pathlib.Path, sc: dict) -> None:
+    """Regenerate the aligned-cocitabs triples with the TRAINED sentence
+    encoder as the aligner (reference pre_proc_cocits.py:447-455 semantics:
+    encoder argmax alignments), replacing the crc32 bag-of-words stand-in."""
+    run_cli("preprocess", "regen-examples",
+            "--in-path", str(root / "triples"),
+            "--out-path", str(root / "triples_enc"),
+            "--extra", json.dumps({
+                "aligner_run_dir": str(root / "run-sentenc"),
+                "aligner_tokenizer": str(root / "tokenizer"),
+                "train_size": 2_000_000, "dev_size": 4000}))
+
+
+def stage_train(root: pathlib.Path, sc: dict, aligner: str = "crc32") -> None:
+    triples = root / ("triples_enc" if aligner == "trained" else "triples")
     args = ["train", "--config", str(root / "config.json"),
-            "--train", str(root / "triples" / "train-cocitabsalign.jsonl"),
-            "--dev", str(root / "triples" / "dev-cocitabsalign.jsonl"),
+            "--train", str(triples / "train-cocitabsalign.jsonl"),
+            "--dev", str(triples / "dev-cocitabsalign.jsonl"),
             "--out", str(root / "run"),
             "--tokenizer", str(root / "tokenizer"),
             "--seq-len", str(sc["seq_len"]),
@@ -274,7 +319,7 @@ def stage_train(root: pathlib.Path, sc: dict) -> None:
     run_cli(*args)
 
 
-def stage_serve(root: pathlib.Path, sc: dict) -> dict:
+def stage_serve(root: pathlib.Path, sc: dict, aligner: str = "crc32") -> dict:
     eval_dir = root / "eval"
     run_cli("build-index", "--corpus", str(eval_dir / "corpus-index.jsonl"),
             "--out", str(root / "index"), "--run-dir", str(root / "run"),
@@ -316,6 +361,7 @@ def stage_serve(root: pathlib.Path, sc: dict) -> dict:
             if m.get("kind") == "train_loss":
                 losses.append((m["iter"], m["loss"]))
     summary = {
+        "aligner": aligner,
         "map": {split: r["mean_av_precision"] for split, r in results.items()},
         "ndcg%20": {split: r["ndcg%20"] for split, r in results.items()},
         "random_map": round(rand_map, 4),
@@ -323,7 +369,8 @@ def stage_serve(root: pathlib.Path, sc: dict) -> dict:
         "loss_last": losses[-1] if losses else None,
         "n_loss_points": len(losses),
     }
-    (root / "e2e-summary.json").write_text(json.dumps(summary, indent=1))
+    (root / f"e2e-summary-{aligner}.json").write_text(
+        json.dumps(summary, indent=1))
     print("[serve] summary:", json.dumps(summary), flush=True)
     return summary
 
@@ -332,17 +379,27 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", required=True)
     ap.add_argument("--scale", choices=list(SCALES), default="pilot")
-    ap.add_argument("--stage", choices=["data", "train", "serve", "all"],
-                    default="all")
+    ap.add_argument("--stage", choices=["data", "sentenc", "align", "train",
+                                        "serve", "all"], default="all")
+    ap.add_argument("--aligner", choices=["crc32", "trained"],
+                    default="trained",
+                    help="crc32: hashed bag-of-words stand-in; trained: "
+                        "train cosentbert on the mined sentence pairs and "
+                        "align with it (the reference's two-model pipeline)")
     args = ap.parse_args()
     root = pathlib.Path(args.root)
     sc = SCALES[args.scale]
+    trained = args.aligner == "trained"
     if args.stage in ("data", "all"):
         stage_data(root, sc)
+    if trained and args.stage in ("sentenc", "all"):
+        stage_sentenc(root, sc)
+    if trained and args.stage in ("align", "all"):
+        stage_align(root, sc)
     if args.stage in ("train", "all"):
-        stage_train(root, sc)
+        stage_train(root, sc, args.aligner)
     if args.stage in ("serve", "all"):
-        stage_serve(root, sc)
+        stage_serve(root, sc, args.aligner)
 
 
 if __name__ == "__main__":
