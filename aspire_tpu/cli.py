@@ -66,6 +66,9 @@ def cmd_train(args):
     if args.attention_impl:
         cfg.model = dataclasses.replace(cfg.model,
                                         attention_impl=args.attention_impl)
+    if args.hidden_dropout_impl:
+        cfg.model = dataclasses.replace(
+            cfg.model, hidden_dropout_impl=args.hidden_dropout_impl)
     model = build_model(cfg.model, bert_config, dtype=compute_dtype)
     mesh = make_mesh(n_data=args.num_devices)
     trainer = Trainer(model, cfg, args.out, mesh=mesh,
@@ -722,6 +725,14 @@ def build_parser():
                         "keeps probs+masks in VMEM and draws dropout bits "
                         "from the TPU hardware PRNG (fastest; deterministic "
                         "per seed, different mask stream than naive)")
+    t.add_argument("--hidden-dropout-impl", default=None,
+                   choices=["auto", "naive", "fused"],
+                   help="hidden/embedding dropout backend; 'fused' draws "
+                        "the keep masks from the TPU hardware PRNG inside "
+                        "a pallas kernel (ops/pallas_dropout.py) so no "
+                        "[b,t,h] mask bits are generated, stored for the "
+                        "backward, or moved through HBM (same stream trade "
+                        "as --attention-impl fused)")
     t.add_argument("--seq-buckets",
                    help="comma-separated length buckets, e.g. 192,320,512")
     t.add_argument("--shuffle-seed", type=int, default=None,

@@ -44,6 +44,10 @@ class ModelHParams:
     # 'auto' (naive; measured optimal for deterministic passes), 'fused'
     # (pallas dropout-fused kernel on training passes), 'flash', 'naive'.
     attention_impl: str = "auto"
+    # Hidden/embedding dropout backend (models/bert.py _hidden_dropout):
+    # 'auto'/'naive' (nn.Dropout with the step keys), 'fused'
+    # (ops/pallas_dropout.py hardware-PRNG kernel, no mask HBM traffic).
+    hidden_dropout_impl: str = "auto"
 
     @property
     def consent(self) -> bool:

@@ -51,6 +51,7 @@ class BertConfig:
 class BertEmbeddings(nn.Module):
     config: BertConfig
     dtype: Any = jnp.float32
+    hidden_dropout_impl: str = "auto"
 
     @nn.compact
     def __call__(self, input_ids, token_type_ids, deterministic=True):
@@ -74,8 +75,39 @@ class BertEmbeddings(nn.Module):
         x = word + pos + typ
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="LayerNorm",
                          dtype=jnp.float32)(x)
-        x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
+        x = _hidden_dropout(self, x, cfg.hidden_dropout_prob, deterministic,
+                            self.hidden_dropout_impl)
         return x.astype(self.dtype)
+
+
+def _hidden_dropout(module: nn.Module, x, p: float, deterministic: bool,
+                    impl: str):
+    """Hidden/embedding dropout site with a backend knob.
+
+    'auto'/'naive': `nn.Dropout` (threefry/rbg step keys — exact HF
+    semantics, reference HF BertModel / disent_models.py:229).
+    'fused': ops/pallas_dropout.hw_dropout — the keep mask is drawn from
+    the TPU hardware PRNG inside the applying kernel and REGENERATED in the
+    backward, so no [b, t, h] mask bits are generated with the step PRNG,
+    stored for the bwd, or moved through HBM.  Same P(keep)=1-p, different
+    bit stream (deterministic per seed; the `--fast-rng` trade).
+    Deterministic passes are identity on every backend."""
+    if deterministic or p == 0.0:
+        return x
+    if impl != "fused":
+        return nn.Dropout(p)(x, deterministic=False)
+    from ..ops.pallas_dropout import hw_dropout
+    key = module.make_rng("dropout")
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        seed, bits = jax.random.bits(key, (1,), jnp.uint32), None
+    else:
+        # the TPU interpreter stubs the hardware PRNG; draw the bits
+        # outside the kernel (CI / CPU path -- same math)
+        seed = jnp.zeros((1,), jnp.uint32)
+        bits = jax.random.bits(key, x.shape, jnp.uint32)
+    return hw_dropout(x, seed, dropout_p=p, rng_bits=bits,
+                      interpret=not on_tpu)
 
 
 def _select_impl(attention_impl: str, deterministic: bool,
@@ -190,6 +222,7 @@ class BertLayer(nn.Module):
     config: BertConfig
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
+    hidden_dropout_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, attn_bias, attention_mask, deterministic=True):
@@ -199,7 +232,8 @@ class BertLayer(nn.Module):
             x, attn_bias, attention_mask, deterministic)
         attn_out = nn.Dense(cfg.hidden_size, dtype=self.dtype,
                             param_dtype=jnp.float32, name="attention_output_dense")(attn_out)
-        attn_out = nn.Dropout(cfg.hidden_dropout_prob)(attn_out, deterministic=deterministic)
+        attn_out = _hidden_dropout(self, attn_out, cfg.hidden_dropout_prob,
+                                   deterministic, self.hidden_dropout_impl)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="attention_output_LayerNorm")(x + attn_out).astype(self.dtype)
         inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
@@ -207,7 +241,8 @@ class BertLayer(nn.Module):
         inter = nn.gelu(inter, approximate=False)
         out = nn.Dense(cfg.hidden_size, dtype=self.dtype,
                        param_dtype=jnp.float32, name="output_dense")(inter)
-        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        out = _hidden_dropout(self, out, cfg.hidden_dropout_prob,
+                              deterministic, self.hidden_dropout_impl)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="output_LayerNorm")(x + out).astype(self.dtype)
         return x
@@ -223,6 +258,7 @@ class BertModel(nn.Module):
     config: BertConfig
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
+    hidden_dropout_impl: str = "auto"
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None,
@@ -230,14 +266,15 @@ class BertModel(nn.Module):
         cfg = self.config
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
-        x = BertEmbeddings(cfg, self.dtype, name="embeddings")(
+        x = BertEmbeddings(cfg, self.dtype, self.hidden_dropout_impl,
+                           name="embeddings")(
             input_ids, token_type_ids, deterministic)
         attn_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9
                               ).astype(jnp.float32)
         hidden_states = [x.astype(jnp.float32)]
         for i in range(cfg.num_hidden_layers):
             x = BertLayer(cfg, self.dtype, self.attention_impl,
-                          name=f"layer_{i}")(
+                          self.hidden_dropout_impl, name=f"layer_{i}")(
                 x, attn_bias, attention_mask, deterministic)
             hidden_states.append(x.astype(jnp.float32))
         return hidden_states[-1], tuple(hidden_states)

@@ -29,7 +29,8 @@ class SentTripleModel:
         self.hp = hp
         self.bert_config = bert_config
         self.encoder = BertModel(bert_config, dtype=dtype,
-                                 attention_impl=hp.attention_impl)
+                                 attention_impl=hp.attention_impl,
+                                 hidden_dropout_impl=hp.hidden_dropout_impl)
 
     def init_params(self, rng: jax.Array, seq_len: int = 64) -> dict:
         ids = jnp.zeros((1, seq_len), jnp.int32)
@@ -65,9 +66,11 @@ class ICTModel:
         self.hp = hp
         self.bert_config = bert_config
         self.sent_encoder = BertModel(bert_config, dtype=dtype,
-                                      attention_impl=hp.attention_impl)
+                                      attention_impl=hp.attention_impl,
+                                      hidden_dropout_impl=hp.hidden_dropout_impl)
         self.context_encoder = BertModel(
-            bert_config, dtype=dtype, attention_impl=hp.attention_impl)
+            bert_config, dtype=dtype, attention_impl=hp.attention_impl,
+                                      hidden_dropout_impl=hp.hidden_dropout_impl)
 
     def init_params(self, rng: jax.Array, seq_len: int = 64) -> dict:
         r1, r2 = jax.random.split(rng)

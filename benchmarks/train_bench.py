@@ -80,6 +80,11 @@ def main():
                     choices=["auto", "naive", "flash", "fused"],
                     help="attention backend; 'fused' = pallas dropout-fused "
                          "kernel on training passes (ops/pallas_attention.py)")
+    ap.add_argument("--hdrop", default="auto",
+                    choices=["auto", "naive", "fused"],
+                    help="hidden/embedding dropout backend; 'fused' = "
+                         "pallas hardware-PRNG kernel, no mask HBM traffic "
+                         "(ops/pallas_dropout.py)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu for smoke tests; "
                          "the JAX_PLATFORMS env var alone does not switch "
@@ -102,7 +107,8 @@ def main():
                       score_aggregation="l2wasserstein",
                       sent_sm_temp=5000.0, sent_loss_prop=1.0,
                       sentsup_loss_prop=1.0, max_seq_len=args.seq,
-                      max_sents=args.max_sents, attention_impl=args.attn)
+                      max_sents=args.max_sents, attention_impl=args.attn,
+                      hidden_dropout_impl=args.hdrop)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     model = build_model(hp, cfg, dtype=dtype)
 
@@ -164,7 +170,8 @@ def main():
         "metric": "train_triples_per_sec_per_chip",
         "model": "sbalisentbienc(ts+ot)",
         "mode": args.mode + ("+nodrop" if args.no_dropout else "")
-                + ("+nohidden" if args.no_hidden_dropout else ""),
+                + ("+nohidden" if args.no_hidden_dropout else "")
+                + ("+hdrop-" + args.hdrop if args.hdrop != "auto" else ""),
         "rng": args.rng, "attn": args.attn,
         "dtype": args.dtype, "seq_len": args.seq, "micro": args.micro,
         "accum": args.accum, "step_ms": round(dt * 1e3, 2),
