@@ -61,7 +61,10 @@ def main():
     ap.add_argument("--sents", type=int, default=12)
     ap.add_argument("--max-sents", type=int, default=24)
     ap.add_argument("--qmax", type=int, default=16)
-    ap.add_argument("--iters", type=int, default=4)
+    # enough in-jit repetitions that the loop dwarfs the ~25 ms tunnel RTT
+    # (a 1024-pair OT chunk is ~0.5 ms: at 4 iters the whole loop hides
+    # under the RTT and the row reads 0.0 -- measured the hard way)
+    ap.add_argument("--iters", type=int, default=64)
     ap.add_argument("--solver", choices=["pallas", "xla"], default="pallas")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
