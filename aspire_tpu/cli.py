@@ -28,6 +28,18 @@ def _setup_logging(args):
 
 def cmd_train(args):
     import jax
+
+    if args.num_processes and args.num_processes > 1:
+        # multi-host (DCN) bring-up: one process per host, same command on
+        # each with its own --process-id.  Replaces the reference's DDP
+        # launch (mp.spawn + NCCL init_process_group, main_fsim.py:36-46,
+        # :257-259) AND its per-rank data-file splitting
+        # (run_main_fsim-ddp.sh:51-90): every process streams the same
+        # --train file; shard_batch places only the rows its devices own.
+        from .parallel.mesh import initialize_multihost
+        initialize_multihost(coordinator_address=args.coordinator,
+                             num_processes=args.num_processes,
+                             process_id=args.process_id)
     from transformers import AutoTokenizer
 
     from .core.config import RunConfig
@@ -700,6 +712,14 @@ def build_parser():
     t.add_argument("--init-hf-dir", help="local HF dir for encoder init")
     t.add_argument("--seq-len", type=int, default=512)
     t.add_argument("--num-devices", type=int, default=None)
+    t.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator host:port (process 0's "
+                        "address); run the same train command on every "
+                        "host with its own --process-id")
+    t.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total number of host processes")
+    t.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's rank (0-based)")
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--tiny", action="store_true", help="tiny BERT (smoke test)")
     t.add_argument("--bf16-compute", action="store_true",

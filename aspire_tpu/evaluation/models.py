@@ -253,9 +253,9 @@ class AspireSimilarityModel(SimilarityModel):
     def from_trained(cls, name: str, run_dir: str, tokenizer,
                      model_version: str = "cur_best", **kw):
         """Load one of this framework's own training runs (orbax + run_info)."""
-        import orbax.checkpoint as ocp
+        from ..utils.checkpoint import restore_params
         rc = RunConfig.from_run_info(os.path.join(run_dir, "run_info.json"))
-        params = ocp.StandardCheckpointer().restore(
+        params = restore_params(
             os.path.abspath(os.path.join(run_dir, f"model_{model_version}")))
         agg = "ot" if rc.model.score_aggregation == "l2wasserstein" else "l2max"
         kw.setdefault("agg", agg)
@@ -762,9 +762,9 @@ def get_model(model_name: str, trained_model_path: str | None = None,
         return m
     if model_name == "cospecter":
         assert trained_model_path and tokenizer is not None
-        import orbax.checkpoint as ocp
+        from ..utils.checkpoint import restore_params
         rc = RunConfig.from_run_info(os.path.join(trained_model_path, "run_info.json"))
-        params = ocp.StandardCheckpointer().restore(
+        params = restore_params(
             os.path.abspath(os.path.join(trained_model_path, "model_cur_best")))
         bc = (BertConfig(**rc.extra["bert_config"])
               if "bert_config" in rc.extra else BertConfig())
@@ -781,9 +781,9 @@ def get_model(model_name: str, trained_model_path: str | None = None,
                                                   tokenizer, **akw)
     if model_name in {"cosentbert", "ictsentbert"}:
         assert trained_model_path and tokenizer is not None
-        import orbax.checkpoint as ocp
+        from ..utils.checkpoint import restore_params
         rc = RunConfig.from_run_info(os.path.join(trained_model_path, "run_info.json"))
-        params = ocp.StandardCheckpointer().restore(
+        params = restore_params(
             os.path.abspath(os.path.join(trained_model_path, "model_cur_best")))
         if model_name == "ictsentbert":
             params = params["sent"]  # query tower scores at test time

@@ -25,8 +25,33 @@ def initialize_multihost(**kwargs) -> None:
     via kwargs or TPU metadata).  After this, `make_mesh(devices=
     jax.devices())` spans all hosts; the same pjit programs run over
     DCN-connected slices unchanged -- no NCCL-style process-group plumbing.
+
+    Replaces the reference's `setup_ddp` (`dist.init_process_group('nccl',
+    rank, world_size)`, main_fsim.py:36-46) and the per-rank data-file
+    splitting of run_main_fsim-ddp.sh: every process streams the SAME data
+    and `shard_batch` places only the rows its devices own (see `_put`).
+    Executed (not just compiled) by tests/test_multihost_dcn.py: two
+    gRPC-connected processes train in lockstep and must match the
+    single-process run.
     """
     jax.distributed.initialize(**kwargs)
+
+
+def _put(x, sharding: NamedSharding):
+    """Place host data under `sharding`, multi-process safe.
+
+    Single process: plain `device_put`.  Multi-process (DCN): every process
+    holds the FULL host value (all processes stream the same data, same
+    seeds), and `make_array_from_process_local_data(global_shape=x.shape)`
+    carves out just the shards owned by this process's addressable devices
+    -- `device_put` cannot target non-addressable devices.  Replicated specs
+    (P()) work the same way: each device maps to the full slice.
+    """
+    if jax.process_count() > 1:
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape=x.shape)
+    return jax.device_put(x, sharding)
 
 
 def make_train_serve_mesh(n_data: int, n_shards: int, devices=None) -> Mesh:
@@ -74,10 +99,10 @@ def shard_batch(batch, mesh: Mesh, axis: int = 0):
     """
     spec = P(*([None] * axis + ["data"]))
     sh = NamedSharding(mesh, spec)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(lambda x: _put(x, sh), batch)
 
 
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree (params/opt state) across the mesh."""
     sh = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(lambda x: _put(x, sh), tree)

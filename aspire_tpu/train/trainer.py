@@ -142,6 +142,11 @@ class Trainer:
         self._metrics_file = None
 
     def log_metric(self, **kv) -> None:
+        # process-0-only under multi-host (the reference's rank-0
+        # conditional_log, trainer.py:467-473) -- every process would
+        # otherwise interleave writes into the shared metrics.jsonl
+        if jax.process_index() != 0:
+            return
         if self._metrics_file is None or self._metrics_file.closed:
             self._metrics_file = open(self.model_path / "metrics.jsonl", "a")
         self._metrics_file.write(json.dumps(kv) + "\n")
@@ -316,17 +321,25 @@ class Trainer:
 
         path = (self.model_path / f"model_{suffix}").absolute()
         ckptr = ocp.StandardCheckpointer()
-        params_np = jax.device_get(state.params)
-        ckptr.save(path, params_np, force=True)
+        if jax.process_count() > 1:
+            # multi-host: hand orbax the GLOBAL arrays so each process
+            # writes only the shards it addresses (replicated params ->
+            # primary replica writes); device_get'd numpy would make every
+            # process race on the same files.  All processes must call this
+            # (orbax synchronizes via the distributed client).
+            tree = state.params
+        else:
+            tree = jax.device_get(state.params)
+        ckptr.save(path, tree, force=True)
         ckptr.wait_until_finished()
-        self.cfg.to_run_info(self.model_path / "run_info.json")
+        if jax.process_index() == 0:
+            self.cfg.to_run_info(self.model_path / "run_info.json")
 
     def load_checkpoint(self, suffix: str):
-        import orbax.checkpoint as ocp
-
-        path = (self.model_path / f"model_{suffix}").absolute()
-        ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(path)
+        # topology-independent: a multi-host-saved checkpoint must load in
+        # any later process (utils.checkpoint docstring)
+        from ..utils.checkpoint import restore_params
+        return restore_params((self.model_path / f"model_{suffix}").absolute())
 
     def save_full_state(self, state: TrainState, suffix: str = "resume") -> None:
         """Full training state (params + optimizer + step) for elastic
@@ -336,11 +349,14 @@ class Trainer:
 
         path = (self.model_path / f"state_{suffix}").absolute()
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, jax.device_get({
-            "step": state.step, "params": state.params,
-            "opt_state": state.opt_state}), force=True)
+        tree = {"step": state.step, "params": state.params,
+                "opt_state": state.opt_state}
+        if jax.process_count() == 1:
+            tree = jax.device_get(tree)   # else: global arrays, see above
+        ckptr.save(path, tree, force=True)
         ckptr.wait_until_finished()
-        self.cfg.to_run_info(self.model_path / "run_info.json")
+        if jax.process_index() == 0:
+            self.cfg.to_run_info(self.model_path / "run_info.json")
 
     def restore_full_state(self, suffix: str = "resume") -> TrainState:
         """Restore against an ABSTRACT target pytree so orbax reassembles the
@@ -368,6 +384,8 @@ class Trainer:
 
     def plot_history(self) -> None:
         """Loss/dev-score curves (reference data_utils.plot_train_hist)."""
+        if jax.process_index() != 0:
+            return
         try:
             import matplotlib
             matplotlib.use("Agg")

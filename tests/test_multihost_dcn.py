@@ -1,0 +1,125 @@
+"""Multi-host (DCN) training is EXECUTED, not just compiled.
+
+Two OS processes connect through the JAX distributed runtime (gRPC -- the
+same transport DCN-connected TPU hosts use), each owning 4 CPU devices of
+one 8-device global mesh, and train through the real Trainer: sharded
+superbatches via `mesh.shard_batch` (every process streams the full batch;
+`make_array_from_process_local_data` carves out the owned rows), cross-host
+gradient psums, dev-score early stopping, and shared-directory orbax
+checkpointing with process-0-only metrics.
+
+Assertions:
+  * the two processes' replicated final params are BIT-identical (they are
+    views of the same global arrays);
+  * losses / dev scores / final params match a single-process 8-device run
+    of the same job within f32 reduction-order noise (the DCN boundary is
+    semantically invisible, exactly like the DP8==DP1 test);
+  * only process 0 wrote metrics.jsonl, and the shared checkpoint restores.
+
+Replaces-and-exceeds the reference's DDP testing story, which is "run the
+script" (SURVEY.md §4: no multi-GPU tests, no fake backend).
+"""
+import json
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+WORKER = REPO / "scripts" / "multihost_worker.py"
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_job(out_dir: pathlib.Path, num_processes: int, local_devices: int):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}")
+    # subprocesses must not inherit a half-initialized coordinator state
+    env.pop("JAX_COORDINATOR_ADDRESS", None)
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = []
+    for pid in range(num_processes):
+        log = open(out_dir / f"worker-{pid}.log", "w")
+        procs.append((subprocess.Popen(
+            [sys.executable, str(WORKER), "--coordinator", coord,
+             "--num-processes", str(num_processes), "--process-id", str(pid),
+             "--out", str(out_dir), "--platform", "cpu"],
+            env=env, cwd=str(REPO), stdout=log, stderr=subprocess.STDOUT),
+            log))
+    for pid, (p, log) in enumerate(procs):
+        rc = p.wait(timeout=900)
+        log.close()
+        if rc != 0:
+            raise AssertionError(
+                f"worker {pid} exited {rc}:\n"
+                + (out_dir / f"worker-{pid}.log").read_text()[-4000:])
+    summaries = [json.loads((out_dir / f"summary-proc{i}.json").read_text())
+                 for i in range(num_processes)]
+    params = [dict(np.load(out_dir / f"params-proc{i}.npz"))
+              for i in range(num_processes)]
+    return summaries, params
+
+
+def test_two_process_dcn_matches_single_process(tmp_path):
+    dcn_dir = tmp_path / "dcn"
+    one_dir = tmp_path / "one"
+    dcn_dir.mkdir()
+    one_dir.mkdir()
+    dcn_sums, dcn_params = _run_job(dcn_dir, num_processes=2, local_devices=4)
+    one_sums, one_params = _run_job(one_dir, num_processes=1, local_devices=8)
+
+    # the distributed runtime really spanned two processes
+    assert dcn_sums[0]["process_count"] == 2
+    assert dcn_sums[0]["global_devices"] == 8
+    assert dcn_sums[0]["local_devices"] == 4
+    assert one_sums[0]["global_devices"] == 8
+
+    # both processes saw the identical replicated state, bit for bit
+    assert dcn_params[0].keys() == dcn_params[1].keys()
+    for k in dcn_params[0]:
+        np.testing.assert_array_equal(dcn_params[0][k], dcn_params[1][k],
+                                      err_msg=k)
+    assert dcn_sums[0]["losses"] == dcn_sums[1]["losses"]
+    assert dcn_sums[0]["dev_scores"] == dcn_sums[1]["dev_scores"]
+
+    # DCN boundary is semantically invisible: matches the single-process run
+    # (tolerances as in test_dp_parity: adam amplifies f32 psum
+    # reduction-order noise)
+    np.testing.assert_allclose(dcn_sums[0]["losses"], one_sums[0]["losses"],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(dcn_sums[0]["dev_scores"],
+                               one_sums[0]["dev_scores"], rtol=2e-4, atol=2e-4)
+    assert one_params[0].keys() == dcn_params[0].keys()
+    for k in one_params[0]:
+        np.testing.assert_allclose(one_params[0][k], dcn_params[0][k],
+                                   rtol=5e-4, atol=5e-4, err_msg=k)
+
+    # process-0-only metrics stream; exactly one shared run dir
+    metrics = (dcn_dir / "run" / "metrics.jsonl").read_text().splitlines()
+    one_metrics = (one_dir / "run" / "metrics.jsonl").read_text().splitlines()
+    assert len(metrics) == len(one_metrics)
+
+    # the shared-directory multi-host checkpoint restores to the same params
+    # in THIS (differently-topologied) process: saved device metadata must
+    # not leak into restore (utils.checkpoint.restore_params)
+    from aspire_tpu.utils.checkpoint import restore_params
+    restored = restore_params((dcn_dir / "run" / "model_final").absolute())
+    flat = {}
+    import jax
+    for k, v in jax.tree_util.tree_flatten_with_path(restored)[0]:
+        flat[jax.tree_util.keystr(k)] = np.asarray(v)
+    assert flat.keys() == dcn_params[0].keys()
+    for k in flat:
+        np.testing.assert_array_equal(flat[k], dcn_params[0][k], err_msg=k)
