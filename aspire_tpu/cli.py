@@ -401,6 +401,14 @@ def _rank_pools(args, dataset, model, mesh, index_type: str) -> None:
     import jax.numpy as jnp
     from .index.dense import DenseBucketIndex, flatten_device_buckets
 
+    host_to_dev = jnp.asarray
+    if mesh is not None:
+        # multi-process safe placement of the replicated query-side inputs
+        # (under a multi-host serving job jit cannot auto-place host arrays
+        # onto non-addressable devices; parallel.mesh.place)
+        from .parallel.mesh import place
+        host_to_dev = lambda x: place(np.asarray(x), mesh)
+
     pool = dataset.get_test_pool(facet=args.facet)
     qpids = list(pool)
     q_encs = model.get_encoding(qpids, dataset)
@@ -422,7 +430,7 @@ def _rank_pools(args, dataset, model, mesh, index_type: str) -> None:
                           for q in qpids])
         reps, norms = idx.device_arrays(mesh)
         fn = make_cls_pool_rank_batched(mesh)
-        sims = np.asarray(fn(jnp.asarray(q_arr), jnp.asarray(cand_ids),
+        sims = np.asarray(fn(host_to_dev(q_arr), host_to_dev(cand_ids),
                              reps, norms))
     else:
         idx = DenseBucketIndex.load(args.index)
@@ -469,8 +477,8 @@ def _rank_pools(args, dataset, model, mesh, index_type: str) -> None:
             agg=agg, int8=idx.is_int8, mesh=mesh, blur=ot_blur,
             scaling=ot_scaling, temp=ot_temp, solver=args.ot_solver,
             score_type=idx.score_type)
-        sims = np.asarray(fn(jnp.asarray(q_arr), jnp.asarray(q_lens),
-                             jnp.asarray(cand_ids),
+        sims = np.asarray(fn(host_to_dev(q_arr), host_to_dev(q_lens),
+                             host_to_dev(cand_ids),
                              *flatten_device_buckets(dev),
                              *idx.device_pos_arrays(mesh)))
     ranked = {}
@@ -502,6 +510,13 @@ def cmd_rank(args):
                               flatten_device_buckets)
     from .evaluation.datasets import EvalDataset
 
+    if getattr(args, "num_processes", None) and args.num_processes > 1:
+        # multi-host serving: same command per host; index shards span the
+        # hosts' devices, collectives cross DCN (see cmd_train's launch note)
+        from .parallel.mesh import initialize_multihost
+        initialize_multihost(coordinator_address=args.coordinator,
+                             num_processes=args.num_processes,
+                             process_id=args.process_id)
     args.ot_solver = _resolve_ot_solver(args.ot_solver)
     with open(os.path.join(args.index, "meta.json")) as f:
         index_type = json.load(f).get("index_type", "multivec")
@@ -513,6 +528,10 @@ def cmd_rank(args):
     if args.n_shards > 1:
         from .parallel.mesh import make_serving_mesh
         mesh = make_serving_mesh(n_shards=args.n_shards)
+    host_to_dev = jnp.asarray
+    if mesh is not None:
+        from .parallel.mesh import place
+        host_to_dev = lambda x: place(np.asarray(x), mesh)
 
     if args.protocol == "pool":
         _rank_pools(args, dataset, model, mesh, index_type)
@@ -548,7 +567,7 @@ def cmd_rank(args):
                                  np.float32)])
         search = make_cls_search_batched(k=args.k, mesh=mesh,
                                          q_chunk=q_chunk)
-        scores, docs = search(jnp.asarray(q_arr), reps, norms)
+        scores, docs = search(host_to_dev(q_arr), reps, norms)
         scores, docs = np.asarray(scores), np.asarray(docs)
         ranked = {}
         for i, qpid in enumerate(qpids):
@@ -612,7 +631,7 @@ def cmd_rank(args):
             len(dev), k=args.k, max_sents=args.max_sents, int8=idx.is_int8,
             mesh=mesh, q_chunk=q_chunk, temp=ot_temp, blur=ot_blur,
             scaling=ot_scaling, solver=args.ot_solver)
-        _, docs, sims = fused(jnp.asarray(q_arr), jnp.asarray(q_lens),
+        _, docs, sims = fused(host_to_dev(q_arr), host_to_dev(q_lens),
                               *flat, *pos)
         docs, sims = np.asarray(docs), np.asarray(sims)
         for i, qpid in enumerate(qpids):
@@ -631,7 +650,7 @@ def cmd_rank(args):
         search = make_dense_search_batched(len(dev), k=args.k,
                                            int8=idx.is_int8, mesh=mesh,
                                            q_chunk=q_chunk, exact=True)
-        scores, docs = search(jnp.asarray(q_arr), jnp.asarray(q_lens), *flat)
+        scores, docs = search(host_to_dev(q_arr), host_to_dev(q_lens), *flat)
         scores, docs = np.asarray(scores), np.asarray(docs)
         for i, qpid in enumerate(qpids):
             real = docs[i] >= 0     # mask ids AND scores together: pairing
@@ -844,6 +863,14 @@ def build_parser():
                                    "joblib rep cache, pp_gen_nearest.py:125)")
     r.add_argument("--n-shards", type=int, default=1,
                    help="serving mesh shards (>1: multi-chip sharded search)")
+    r.add_argument("--coordinator", default=None,
+                   help="multi-host serving: coordinator host:port (process "
+                        "0's address); run the same command on every host "
+                        "with its own --process-id")
+    r.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host serving: total process (host) count")
+    r.add_argument("--process-id", type=int, default=None,
+                   help="multi-host serving: this host's process index")
     r.add_argument("--q-chunk", type=int, default=8,
                    help="query-batch chunk bounding the scan intermediate")
     r.add_argument("--no-dumps", action="store_true",

@@ -183,8 +183,8 @@ class ClsIndex:
         if mesh is None:
             put = jnp.asarray
         else:
-            sh = NamedSharding(mesh, P("shard"))
-            put = lambda x: jax.device_put(x, sh)
+            from ..parallel.mesh import place
+            put = lambda x: place(x, mesh, P("shard"))   # multi-process safe
         return put(self.reps), put(self.norms)
 
 

@@ -153,8 +153,11 @@ class DenseBucketIndex:
             if mesh is None:
                 put = jnp.asarray
             else:
-                sh = NamedSharding(mesh, P("shard"))
-                put = lambda x: jax.device_put(jnp.asarray(x), sh)
+                # multi-process safe: under a multi-host serving job each
+                # process holds the full host index and contributes only the
+                # rows its devices own (parallel.mesh.place)
+                from ..parallel.mesh import place
+                put = lambda x: place(np.asarray(x), mesh, P("shard"))
             dev = {"sents": put(b["sents"]), "norms": put(b["norms"]),
                    "doc_idx": put(b["doc_idx"])}
             if "scales" in b:
@@ -170,12 +173,12 @@ class DenseBucketIndex:
         between search and rerank.  Replicated under a serving mesh (the
         bucket arrays are the sharded part)."""
         self._ensure_doc_pos()
-        arrs = (jnp.asarray(self._doc_bucket), jnp.asarray(self._doc_row),
-                jnp.asarray(np.asarray(self.doc_lens, np.int32)))
-        if mesh is not None:
-            sh = NamedSharding(mesh, P())
-            arrs = tuple(jax.device_put(a, sh) for a in arrs)
-        return arrs
+        arrs = (np.asarray(self._doc_bucket), np.asarray(self._doc_row),
+                np.asarray(self.doc_lens, np.int32))
+        if mesh is None:
+            return tuple(jnp.asarray(a) for a in arrs)
+        from ..parallel.mesh import place
+        return tuple(place(a, mesh, P()) for a in arrs)
 
     def gather_doc_reps(self, doc_idx, max_sents: int):
         """Host-side gather of per-doc sentence reps for the rerank stage.

@@ -54,6 +54,16 @@ def _put(x, sharding: NamedSharding):
     return jax.device_put(x, sharding)
 
 
+def place(x, mesh: Mesh, spec: P = P()):
+    """Public multi-process-safe placement: host value -> global array under
+    `spec` over `mesh`.  Single process it is a device_put; multi-process
+    every process passes the same full host value (see `_put`).  Use for
+    query batches / candidate-id matrices fed to sharded serving programs:
+    jit would otherwise try to auto-place process-local arrays onto
+    non-addressable devices and fail."""
+    return _put(x, NamedSharding(mesh, spec))
+
+
 def make_train_serve_mesh(n_data: int, n_shards: int, devices=None) -> Mesh:
     """2-D mesh ('data', 'shard') for colocated training + serving jobs."""
     devices = list(devices if devices is not None else jax.devices())

@@ -31,6 +31,7 @@ import pytest
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 WORKER = REPO / "scripts" / "multihost_worker.py"
+SERVE_WORKER = REPO / "scripts" / "multihost_serve_worker.py"
 
 
 def _free_port() -> int:
@@ -41,7 +42,8 @@ def _free_port() -> int:
     return port
 
 
-def _run_job(out_dir: pathlib.Path, num_processes: int, local_devices: int):
+def _run_job(out_dir: pathlib.Path, num_processes: int, local_devices: int,
+             worker: pathlib.Path = WORKER):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (
@@ -53,7 +55,7 @@ def _run_job(out_dir: pathlib.Path, num_processes: int, local_devices: int):
     for pid in range(num_processes):
         log = open(out_dir / f"worker-{pid}.log", "w")
         procs.append((subprocess.Popen(
-            [sys.executable, str(WORKER), "--coordinator", coord,
+            [sys.executable, str(worker), "--coordinator", coord,
              "--num-processes", str(num_processes), "--process-id", str(pid),
              "--out", str(out_dir), "--platform", "cpu"],
             env=env, cwd=str(REPO), stdout=log, stderr=subprocess.STDOUT),
@@ -65,6 +67,12 @@ def _run_job(out_dir: pathlib.Path, num_processes: int, local_devices: int):
             raise AssertionError(
                 f"worker {pid} exited {rc}:\n"
                 + (out_dir / f"worker-{pid}.log").read_text()[-4000:])
+    if worker is SERVE_WORKER:
+        return ([json.loads(
+                    (out_dir / f"serve-summary-proc{i}.json").read_text())
+                 for i in range(num_processes)],
+                [dict(np.load(out_dir / f"serve-proc{i}.npz"))
+                 for i in range(num_processes)])
     summaries = [json.loads((out_dir / f"summary-proc{i}.json").read_text())
                  for i in range(num_processes)]
     params = [dict(np.load(out_dir / f"params-proc{i}.npz"))
@@ -123,3 +131,32 @@ def test_two_process_dcn_matches_single_process(tmp_path):
     assert flat.keys() == dcn_params[0].keys()
     for k in flat:
         np.testing.assert_array_equal(flat[k], dcn_params[0][k], err_msg=k)
+
+
+def test_two_process_dcn_serving_matches_single_process(tmp_path):
+    """The SERVING stack executes over a process-spanning mesh: sharded
+    corpus scan (per-shard top-k + all_gather) and pool-protocol OT ranking
+    (on-device pool gather + cross-shard psum), with the index shards and
+    the collectives crossing the process boundary."""
+    dcn_dir = tmp_path / "dcn"
+    one_dir = tmp_path / "one"
+    dcn_dir.mkdir()
+    one_dir.mkdir()
+    dcn_sums, dcn = _run_job(dcn_dir, num_processes=2, local_devices=4,
+                             worker=SERVE_WORKER)
+    one_sums, one = _run_job(one_dir, num_processes=1, local_devices=8,
+                             worker=SERVE_WORKER)
+    assert dcn_sums[0]["process_count"] == 2
+    assert dcn_sums[0]["global_devices"] == 8
+
+    # both processes read the same replicated global results, bit for bit
+    for k in dcn[0]:
+        np.testing.assert_array_equal(dcn[0][k], dcn[1][k], err_msg=k)
+
+    # process boundary is invisible to the serving math: same mesh shape,
+    # same program -> identical retrieval and pool scores
+    np.testing.assert_array_equal(dcn[0]["docs"], one[0]["docs"])
+    np.testing.assert_allclose(dcn[0]["scores"], one[0]["scores"],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(dcn[0]["pool_sims"], one[0]["pool_sims"],
+                               rtol=1e-5, atol=1e-5)
