@@ -111,28 +111,46 @@ def _hidden_dropout(module: nn.Module, x, p: float, deterministic: bool,
 
 
 def _select_impl(attention_impl: str, deterministic: bool,
-                 dropout_p: float) -> str:
+                 dropout_p: float, on_tpu: bool = True) -> str:
     """Backend-selection policy for BertSelfAttention (unit-testable: the
     pallas kernels only lower on TPU, so CI can't exercise the TPU
     branches behaviorally).
 
-    'auto' always picks the naive path: measured on v5e, XLA's fused naive
-    attention beats the pallas flash kernel in EVERY regime this model
-    family can reach (BERT caps at 512 positions) -- 1.4x at t=256 fwd,
-    1.7x at t=512 b=32 fwd, 2.3x at t=512 fwd+bwd -- and it carries exact
-    attention-prob dropout.  Flash's blockwise scan only pays off well past
-    1k tokens; it stays available by explicit request for long-context
-    derivatives.
+    'auto' picks per pass (all measured on v5e at the train shape,
+    benchmarks/encoder_bisect.py with input-serialized, full-gradient
+    timing -- the round-3 "naive attention is at the FLOP bound" readings
+    suffered loop-invariant hoisting + dead-code elimination and were 2-50x
+    understated, RESULTS_r4):
 
-    'fused' (ops/pallas_attention.py) targets the one regime where naive is
-    NOT at the bound -- dropout TRAINING passes, where the [b, h, t, t]
-    mask bits + dropped probs round-trip HBM (~43 ms/step rbg, ~105 ms/step
-    threefry at the reference config).  Deterministic passes under 'fused'
-    fall back to naive, which is already optimal there."""
+      * deterministic (or p=0) passes -> 'fused_det', the pallas kernel
+        with the dropout machinery compiled out: the whole score->softmax->
+        context pipeline stays VMEM-resident, vs the naive path's [b,h,t,t]
+        f32 scores + bf16 probs round-tripping HBM.  Measured 7.85 -> 2.56
+        ms per 60-seq attention fwd+bwd (3.1x); the full no-dropout train
+        step drops 252.4 -> 193.2 ms (1.31x).
+      * dropout TRAINING passes -> 'naive': bit-exact HF dropout semantics
+        with threefry step keys stay the default; the kernel's hardware-PRNG
+        stream is the opt-in `--attention-impl fused` / `--fast-rng` trade.
+
+    'fused' opts training passes into the kernel's hardware-PRNG dropout
+    (~43 ms/step rbg, ~105 ms/step threefry saved at the reference config);
+    its deterministic passes run 'fused_det' too.
+
+    'flash' (jax.experimental pallas flash attention) stays available by
+    explicit request for long-context derivatives; at every shape reachable
+    under BERT's 512-position cap it loses to both paths above.
+
+    Off-TPU (CPU tests / CPU mesh), everything falls back to 'naive': the
+    kernels only lower on TPU and interpret mode is for parity tests."""
     if attention_impl == "flash":
         return "flash"
-    if attention_impl == "fused" and not deterministic and dropout_p > 0:
-        return "fused"
+    training_dropout = not deterministic and dropout_p > 0
+    if attention_impl == "fused":
+        if training_dropout:
+            return "fused"
+        return "fused_det" if on_tpu else "naive"
+    if attention_impl == "auto" and not training_dropout and on_tpu:
+        return "fused_det"
     return "naive"
 
 
@@ -151,10 +169,12 @@ class BertSelfAttention(nn.Module):
       P(keep) = 1-p semantics, different bit stream: deterministic per
       seed, not bit-reproducible against a 'naive' run (the `--fast-rng`
       trade).  Deterministic passes fall back to naive.
-    * 'auto' (default): always naive -- measured faster than flash at every
-      shape reachable under BERT's 512-position cap, and exact-dropout
-      (see _select_impl).  The full ts+ot train step at t=512/batch 3
-      fits v5e VMEM on the naive path (verified on chip).
+    * 'fused_det': the same kernel built at p=0 (dropout machinery compiled
+      out) -- plain fused attention, VMEM-resident, no PRNG.  What 'auto'
+      and 'fused' run for deterministic passes on TPU.
+    * 'auto' (default): 'fused_det' for deterministic passes on TPU, naive
+      otherwise -- exact-dropout training semantics by default, fused
+      inference (see _select_impl for the measurements).
     """
 
     config: BertConfig
@@ -168,29 +188,36 @@ class BertSelfAttention(nn.Module):
         hd = h // nh
         t = x.shape[1]
         impl = _select_impl(self.attention_impl, deterministic,
-                            cfg.attention_probs_dropout_prob)
+                            cfg.attention_probs_dropout_prob,
+                            on_tpu=jax.default_backend() == "tpu")
         dense = lambda name: nn.Dense(h, dtype=self.dtype, param_dtype=jnp.float32, name=name)
         q = dense("query")(x).reshape(*x.shape[:2], nh, hd)
         k = dense("key")(x).reshape(*x.shape[:2], nh, hd)
         v = dense("value")(x).reshape(*x.shape[:2], nh, hd)
-        if impl == "fused":
+        if impl in ("fused", "fused_det"):
             from ..ops.pallas_attention import fused_dropout_attention
-            key = self.make_rng("dropout")
             on_tpu = jax.default_backend() == "tpu"
-            if on_tpu:
-                seed, bits = jax.random.bits(key, (1,), jnp.uint32), None
+            if impl == "fused_det":
+                # plain fused attention: the p=0 build compiles the dropout
+                # machinery out entirely (no PRNG, no mask) -- no rng needed
+                p, seed, bits = 0.0, jnp.zeros((1,), jnp.uint32), None
             else:
-                # the TPU interpreter stubs the hardware PRNG; draw the
-                # bits outside the kernel (CI / CPU path -- same math)
-                seed = jnp.zeros((1,), jnp.uint32)
-                bits = jax.random.bits(key, (x.shape[0], nh, t, t),
-                                       jnp.uint32)
+                p = cfg.attention_probs_dropout_prob
+                key = self.make_rng("dropout")
+                if on_tpu:
+                    seed, bits = jax.random.bits(key, (1,), jnp.uint32), None
+                else:
+                    # the TPU interpreter stubs the hardware PRNG; draw the
+                    # bits outside the kernel (CI / CPU path -- same math)
+                    seed = jnp.zeros((1,), jnp.uint32)
+                    bits = jax.random.bits(key, (x.shape[0], nh, t, t),
+                                           jnp.uint32)
             ctx = fused_dropout_attention(
                 jnp.transpose(q, (0, 2, 1, 3)),
                 jnp.transpose(k, (0, 2, 1, 3)),
                 jnp.transpose(v, (0, 2, 1, 3)),
                 attn_bias[:, 0, 0, :], seed,
-                dropout_p=cfg.attention_probs_dropout_prob,
+                dropout_p=p,
                 sm_scale=float(1.0 / np.sqrt(hd)),
                 rng_bits=bits, interpret=not on_tpu)
             ctx = jnp.transpose(ctx, (0, 2, 1, 3))

@@ -1,20 +1,23 @@
-"""Pallas TPU kernel: fused attention with in-VMEM dropout.
+"""Pallas TPU kernel: fused attention, with optional in-VMEM dropout.
 
-Why this exists (measured on v5e, benchmarks/train_bench.py + the round-3
-attention microbench): BERT attention WITHOUT dropout is already at the
-FLOP bound under XLA's fusion (0.045 ms for the [6, 12, 512, 64] train
-shape, fwd+bwd -- which is why the blockwise flash kernel loses here, see
-models/bert.py:_select_impl).  Attention-prob dropout is what costs: the
-[b, h, t, t] mask bits and dropped probs round-trip HBM, adding 0.36 ms
-(rbg keys) / 0.87 ms (threefry) per call -- ~43 / ~105 ms per optimizer
-step at the reference train config, where the whole step is 195 ms.
+Why this exists (measured on v5e at the train shape, benchmarks/
+encoder_bisect.py -- with input-serialized, full-gradient timing; the
+round-3 microbench readings that called naive no-dropout attention "at the
+FLOP bound" suffered loop-invariant hoisting + dead-code elimination and
+were badly understated, see RESULTS_r4): XLA's naive attention
+materializes the [b,h,t,t] f32 scores and bf16 probs through HBM every
+pass, and dropout adds the mask bits and dropped probs on top (~0.9
+ms/call with threefry key generation at the train shape).
 
-This kernel keeps the entire score -> softmax -> dropout -> context
-pipeline for one (batch, head) pair resident in VMEM and draws the dropout
-bits from the TPU core's hardware PRNG (pltpu.prng_random_bits), so neither
-the probs nor the mask ever touch HBM.  The backward pass recomputes them
-(same seed -> bit-identical mask) instead of storing residuals -- the
-custom_vjp saves only q/k/v/bias.
+This kernel keeps the entire score -> softmax -> [dropout ->] context
+pipeline for one (batch, head-block) pair resident in VMEM.  With
+dropout_p > 0 the bits come from the TPU core's hardware PRNG
+(pltpu.prng_random_bits), so neither the probs nor the mask ever touch
+HBM; the backward pass recomputes them (same seed -> bit-identical mask)
+instead of storing residuals -- the custom_vjp saves only q/k/v/bias.
+With dropout_p == 0 the dropout machinery is compiled out entirely and
+this is plain fused attention -- what deterministic passes run by default
+on TPU (models/bert.py _select_impl 'fused_det').
 
 Semantics mirror the naive path exactly (models/bert.py BertSelfAttention,
 reference HF BertSelfAttention / disent_models.py:229):
@@ -72,7 +75,10 @@ def dropout_attention_reference(q, k, v, bias, keep, dropout_p: float,
 
 
 def _recompute_probs(q, k, bias_row, keep, dropout_p, sm_scale, dtype):
-    """Shared fwd math on one [t, hd] head: (probs_f32, dropped_probs)."""
+    """Shared fwd math on one [t, hd] head: (probs_f32, dropped_probs).
+
+    keep=None (the dropout_p == 0 deterministic build) skips the mask/scale
+    entirely -- the kernel is then plain fused attention."""
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.DEFAULT)
@@ -80,6 +86,8 @@ def _recompute_probs(q, k, bias_row, keep, dropout_p, sm_scale, dtype):
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)          # f32
+    if keep is None:
+        return probs, probs.astype(dtype)
     pd = probs.astype(dtype) / jnp.asarray(1.0 - dropout_p, dtype)
     pd = jnp.where(keep, pd, 0).astype(dtype)
     return probs, pd
@@ -112,10 +120,11 @@ def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, *rest,
     bits_ref, o_ref = rest if len(rest) == 2 else (None, rest[0])
     t = q_ref.shape[2]
     dtype = q_ref.dtype
-    if bits_ref is None:
+    if bits_ref is None and dropout_p > 0.0:
         _seed_program(seed_ref)
     for jj in range(hpb):
-        keep = _draw_keep(bits_ref, jj, t, _keep_threshold(dropout_p))
+        keep = (None if dropout_p == 0.0 else
+                _draw_keep(bits_ref, jj, t, _keep_threshold(dropout_p)))
         _, pd = _recompute_probs(q_ref[0, jj], k_ref[0, jj], bias_ref[0],
                                  keep, dropout_p, sm_scale, dtype)
         ctx = jax.lax.dot_general(pd, v_ref[0, jj], (((1,), (0,)), ((), ())),
@@ -131,11 +140,12 @@ def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, g_ref, *rest,
     dq_ref, dk_ref, dv_ref = rest[-3:]
     t = q_ref.shape[2]
     dtype = q_ref.dtype
-    if bits_ref is None:
+    if bits_ref is None and dropout_p > 0.0:
         _seed_program(seed_ref)
     for jj in range(hpb):
         q, k, v, g = q_ref[0, jj], k_ref[0, jj], v_ref[0, jj], g_ref[0, jj]
-        keep = _draw_keep(bits_ref, jj, t, _keep_threshold(dropout_p))
+        keep = (None if dropout_p == 0.0 else
+                _draw_keep(bits_ref, jj, t, _keep_threshold(dropout_p)))
         probs, pd = _recompute_probs(q, k, bias_ref[0], keep,
                                      dropout_p, sm_scale, dtype)
         # dv = pd^T @ g
@@ -146,7 +156,8 @@ def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, g_ref, *rest,
         dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32,
                                   precision=jax.lax.Precision.DEFAULT)
-        dprobs = jnp.where(keep, dpd / jnp.float32(1.0 - dropout_p), 0.0)
+        dprobs = (dpd if keep is None else
+                  jnp.where(keep, dpd / jnp.float32(1.0 - dropout_p), 0.0))
         # softmax vjp on the f32 probs
         ds = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
                                        keepdims=True))

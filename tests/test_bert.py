@@ -110,19 +110,24 @@ def test_bienc_scalar_mix(tiny_pair, rng):
 
 def test_attention_impl_selection_policy():
     """The TPU branches can't run on the CPU CI backend, so pin the policy
-    itself: flash/fused ONLY by explicit request -- 'auto' is always the
-    naive path (measured faster at every <=512-token shape, and it carries
-    exact attention-prob dropout).  'fused' applies only where it helps
-    (dropout training passes) and falls back to naive for deterministic
-    passes, where naive is already at the FLOP bound."""
+    itself: deterministic passes on TPU run the p=0 fused kernel
+    ('fused_det' -- VMEM-resident, measured 3.1x naive attention fwd+bwd
+    at the train shape, RESULTS_r4); dropout TRAINING passes default to
+    naive (bit-exact HF
+    dropout with threefry step keys) with the kernel's hardware-PRNG stream
+    opt-in via 'fused'.  Off-TPU everything is naive (the kernel only
+    lowers on TPU)."""
     from aspire_tpu.models.bert import _select_impl
     assert _select_impl("flash", False, 0.1) == "flash"
-    assert _select_impl("auto", True, 0.1) == "naive"
+    assert _select_impl("auto", True, 0.1) == "fused_det"
+    assert _select_impl("auto", True, 0.1, on_tpu=False) == "naive"
     assert _select_impl("auto", False, 0.1) == "naive"   # training: dropout
+    assert _select_impl("auto", False, 0.0) == "fused_det"  # p=0: no rng
     assert _select_impl("naive", True, 0.1) == "naive"
     assert _select_impl("fused", False, 0.1) == "fused"
-    assert _select_impl("fused", True, 0.1) == "naive"   # eval: no dropout
-    assert _select_impl("fused", False, 0.0) == "naive"  # p=0: nothing to fuse
+    assert _select_impl("fused", True, 0.1) == "fused_det"
+    assert _select_impl("fused", True, 0.1, on_tpu=False) == "naive"
+    assert _select_impl("fused", False, 0.0) == "fused_det"  # p=0: no rng
 
 
 def test_auto_attention_trains_with_prob_dropout(rng):
