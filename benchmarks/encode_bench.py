@@ -40,11 +40,22 @@ def main():
                            jnp.int32)
     params = enc.init(jax.random.key(0), token_ids, attn, sent_ids)["params"]
 
+    def scale_word_emb(params, eps):
+        # serialize through a FLOAT input: int-input serialization
+        # (token_ids + acc*0) is provably identity so XLA hoists the whole
+        # loop-invariant forward, and a cls[0, 0] readout lets DCE prune
+        # the other batch rows (see enc_check.py / RESULTS_r4 measurement
+        # correction).  Costs one [vocab, h] read+write per iteration.
+        emb = dict(params["bert"]["embeddings"])
+        we = dict(emb["word_embeddings"])
+        we["embedding"] = we["embedding"] * eps
+        bert = dict(params["bert"], embeddings=dict(emb, word_embeddings=we))
+        return dict(params, bert=bert)
+
     def one(acc, params, token_ids, attn, sent_ids):
-        cls, sents = enc.apply({"params": params},
-                               token_ids + (acc * 0).astype(jnp.int32),
-                               attn, sent_ids)
-        return cls[0, 0]
+        cls, sents = enc.apply({"params": scale_word_emb(params, 1.0 + acc * 0.0)},
+                               token_ids, attn, sent_ids)
+        return (jnp.sum(cls) + jnp.sum(sents)).astype(jnp.float32)
 
     dt = timed_loop(one, 50, params, token_ids, attn, sent_ids)
     rate = b / dt
