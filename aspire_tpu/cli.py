@@ -523,7 +523,12 @@ def cmd_rank(args):
     dataset = EvalDataset(args.dataset, args.dataset_dir)
     model = _load_eval_model(args)
     if args.cache:
-        model.set_encodings_cache(args.cache)
+        # process-0-only: under multi-host serving every process would
+        # otherwise open/append the same h5 concurrently (HDF5 has no
+        # multi-writer mode); non-zero processes just re-encode
+        import jax as _jax
+        if _jax.process_index() == 0:
+            model.set_encodings_cache(args.cache)
     mesh = None
     if args.n_shards > 1:
         from .parallel.mesh import make_serving_mesh
@@ -666,7 +671,17 @@ def cmd_rank(args):
 
 
 def _write_rank_outputs(args, dataset, ranked: dict) -> None:
-    """Ranked-pool json + readable neighbour dumps (pp_gen_nearest.py:575-635)."""
+    """Ranked-pool json + readable neighbour dumps (pp_gen_nearest.py:575-635).
+
+    Multi-host serving: only process 0 writes.  Every process computes the
+    same `ranked` (the collectives are global), and on a shared filesystem
+    concurrent open/truncate of one json would interleave corruptly --
+    mirrors trainer.log_metric's process-0 gate and the reference's rank-0
+    conditional logging.
+    """
+    import jax
+    if jax.process_index() != 0:
+        return
     from .evaluation.ranking_eval import print_pool_neighbours
     os.makedirs(args.out, exist_ok=True)
     suffix = f"-{args.facet}" if args.facet else ""

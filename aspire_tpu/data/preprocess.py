@@ -213,32 +213,113 @@ def generate_examples_cocitabs(cocits: dict, pid2abstract: dict, out_dir: str,
 
 def generate_examples_sent_rand(cocits_sent: dict, out_dir: str,
                                 dev_frac: float = 0.2, seed: int = 57395) -> dict:
-    """cosentbert sentence-paraphrase pairs from co-citation contexts with
-    >= 2 contexts (pre_proc_cocits.py:267-318).  Dev gets frozen negatives."""
+    """cosentbert sentence-paraphrase pairs from co-citation contexts
+    (pre_proc_cocits.py:267-318), reference combinatorics and schema:
+
+      * ALL length-2 combinations of each co-cited group's contexts become
+        (query, pos_context) pairs — NOT one sampled pair per group — so a
+        group with n contexts yields C(n, 2) examples;
+      * `citing_pids` (anchor's, positive's) and `cited_pids` metadata ride
+        on every example;
+      * query / pos_context / neg_context are RAW SENTENCE STRINGS
+        (train-coppsent.jsonl contract; TripleStream wraps them);
+      * the shuffled groups split 80/20 train/dev in order, and each dev
+        example gets a frozen negative drawn from the DEV split's groups.
+
+    RNG-stream deviation (documented, PARITY.md): random.Random(seed)
+    replaces the reference's module-level random.seed, so the concrete
+    shuffle/negative draws differ; the distribution and combinatorics
+    match."""
     rng = random.Random(seed)
     os.makedirs(out_dir, exist_ok=True)
     keys = list(cocits_sent.keys())
     rng.shuffle(keys)
-    split_keys = {"train": keys[int(dev_frac * len(keys)):],
-                  "dev": keys[: int(dev_frac * len(keys))]}
-    all_sents = [c[1] for ctxs in cocits_sent.values() for c in ctxs]
+    rng.shuffle(keys)
+    n_train = len(keys) - int(dev_frac * len(keys))
+    split_keys = {"train": keys[:n_train], "dev": keys[n_train:]}
     counts = {}
     for split, skeys in split_keys.items():
-        path = os.path.join(out_dir, f"{split}-cocitsents.jsonl")
+        path = os.path.join(out_dir, f"{split}-coppsent.jsonl")
         n_out = 0
         with codecs.open(path, "w", "utf-8") as f:
             for k in skeys:
                 ctxs = cocits_sent[k]
-                if len(ctxs) < 2:
-                    continue
-                s1, s2 = rng.sample(ctxs, 2)
-                ex = {"query": {"TITLE": "", "ABSTRACT": [s1[1]]},
-                      "pos_context": {"TITLE": "", "ABSTRACT": [s2[1]]}}
-                if split == "dev":
-                    ex["neg_context"] = {"TITLE": "",
-                                         "ABSTRACT": [rng.choice(all_sents)]}
-                f.write(json.dumps(ex) + "\n")
-                n_out += 1
+                for i, j in itertools.combinations(range(len(ctxs)), 2):
+                    anchor, pos = ctxs[i], ctxs[j]
+                    ex = {"citing_pids": [anchor[0], pos[0]],
+                          "cited_pids": list(k),
+                          "query": anchor[1],
+                          "pos_context": pos[1]}
+                    if split == "dev":
+                        neg_ctxs = cocits_sent[rng.choice(skeys)]
+                        ex["neg_context"] = rng.choice(neg_ctxs)[1]
+                    f.write(json.dumps(ex) + "\n")
+                    n_out += 1
+        counts[split] = n_out
+    return counts
+
+
+def generate_examples_cocitabs_contexts(cocits: dict, pid2abstract: dict,
+                                        out_dir: str,
+                                        train_size: int = 1_276_820,
+                                        dev_size: int = 10_000,
+                                        seed: int = 69306) -> dict:
+    """Co-cited abstract pairs with the citing CONTEXTS bundled into the
+    positive — the cospecter-contexts training variant
+    (pre_proc_cocits.py generate_examples_cocitabs_contexts_rand:612-699).
+
+    Differences from generate_examples_cocitabs: the (<= 10 sampled)
+    citing_contexts + citing_pids live INSIDE pos_context (and the dev
+    neg_context), not at the example top level, and dev negatives are drawn
+    from a VALID co-cite set (so they come with their own contexts) rather
+    than from the abstract corpus.  File suffix: concocitabs-seq."""
+    rng = random.Random(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    all_cocits = list(cocits.keys())
+    rng.shuffle(all_cocits)
+    rng.shuffle(all_cocits)
+    n = len(all_cocits)
+    split_copids = {"train": all_cocits[: int(0.8 * n)],
+                    "dev": all_cocits[int(0.8 * n):]}
+    limits = {"train": train_size, "dev": dev_size}
+
+    def sampled_contexts(copids):
+        ctx = rng.sample(cocits[copids], min(10, len(cocits[copids])))
+        return [c[1] for c in ctx], [c[0] for c in ctx]
+
+    counts = {}
+    for split, copids_list in split_copids.items():
+        path = os.path.join(out_dir, f"{split}-concocitabs-seq.jsonl")
+        n_out = 0
+        with codecs.open(path, "w", "utf-8") as f:
+            for cocitedpids in copids_list:
+                context_sents, citing_pids = sampled_contexts(cocitedpids)
+                for i, j in itertools.combinations(range(len(cocitedpids)), 2):
+                    anchor = pid2abstract[cocitedpids[i]]
+                    pos = pid2abstract[cocitedpids[j]]
+                    ex = {
+                        "cited_pids": list(cocitedpids),
+                        "query": {"TITLE": anchor["title"],
+                                  "ABSTRACT": anchor["abstract"]},
+                        "pos_context": {"TITLE": pos["title"],
+                                        "ABSTRACT": pos["abstract"],
+                                        "citing_contexts": context_sents,
+                                        "citing_pids": citing_pids},
+                    }
+                    if split == "dev":
+                        # negatives come FROM a co-cite set so they carry
+                        # their own contexts (reference :672-684)
+                        neg_copids = rng.choice(all_cocits)
+                        neg_sents, neg_cpids = sampled_contexts(neg_copids)
+                        neg = pid2abstract[rng.choice(list(neg_copids))]
+                        ex["neg_context"] = {"TITLE": neg["title"],
+                                             "ABSTRACT": neg["abstract"],
+                                             "citing_contexts": neg_sents,
+                                             "citing_pids": neg_cpids}
+                    f.write(json.dumps(ex) + "\n")
+                    n_out += 1
+                if n_out > limits[split]:
+                    break
         counts[split] = n_out
     return counts
 
@@ -507,12 +588,20 @@ def main(args):
     elif args.action == "cocit-examples":
         import pickle
         aligner = _extra_aligner(extra)
+        variant = extra.pop("variant", "cocitabs")
         with open(args.in_path, "rb") as f:
             cocits = pickle.load(f)
         with open(extra.pop("abstracts"), "rb") as f:
             pid2abstract = pickle.load(f)
-        out = generate_examples_cocitabs(cocits, pid2abstract, args.out_path,
-                                         aligner=aligner, **extra)
+        if variant == "contexts":
+            # cospecter-contexts training data (train_suffix
+            # 'concocitabs-seq'); no aligner on this variant
+            out = generate_examples_cocitabs_contexts(
+                cocits, pid2abstract, args.out_path, **extra)
+        else:
+            out = generate_examples_cocitabs(cocits, pid2abstract,
+                                             args.out_path, aligner=aligner,
+                                             **extra)
     else:
         raise ValueError(args.action)
     print(json.dumps(out))

@@ -31,6 +31,18 @@ def read_jsonl(path: str) -> Iterator[dict]:
                 yield json.loads(line)
 
 
+def _as_doc(x) -> dict:
+    """Normalize an example field to the abstract-dict contract.
+
+    The sentence-model files (train/dev-coppsent.jsonl,
+    pre_proc_cocits.py:300-312) store query/pos_context/neg_context as RAW
+    SENTENCE STRINGS; abstract files store {'TITLE', 'ABSTRACT', ...} dicts
+    (extra keys like citing_contexts ride along untouched)."""
+    if isinstance(x, str):
+        return {"TITLE": "", "ABSTRACT": [x]}
+    return x
+
+
 def _fb_to_dict(fb: FeatureBatch) -> dict:
     return {
         "token_ids": fb.token_ids, "attn_mask": fb.attn_mask,
@@ -139,8 +151,8 @@ class TripleStream:
         for ex in self._examples():
             if self.max_examples is not None and n_seen >= self.max_examples:
                 break
-            queries.append(ex["query"])
-            positives.append(ex["pos_context"])
+            queries.append(_as_doc(ex["query"]))
+            positives.append(_as_doc(ex["pos_context"]))
             n_seen += 1
             if len(queries) == self.micro_batch:
                 if self.seq_buckets:
@@ -184,9 +196,9 @@ def dev_batches(path: str, tokenizer, hp: ModelHParams, batch_size: int,
     for ex in read_jsonl(path):
         if max_examples is not None and n_seen >= max_examples:
             break
-        queries.append(ex["query"])
-        positives.append(ex["pos_context"])
-        negatives.append(ex["neg_context"])
+        queries.append(_as_doc(ex["query"]))
+        positives.append(_as_doc(ex["pos_context"]))
+        negatives.append(_as_doc(ex["neg_context"]))
         n_seen += 1
         if len(queries) == batch_size:
             yield {

@@ -81,7 +81,7 @@ class BertEmbeddings(nn.Module):
 
 
 def _hidden_dropout(module: nn.Module, x, p: float, deterministic: bool,
-                    impl: str):
+                    impl: str, site: int = 0):
     """Hidden/embedding dropout site with a backend knob.
 
     'auto'/'naive': `nn.Dropout` (threefry/rbg step keys — exact HF
@@ -90,7 +90,10 @@ def _hidden_dropout(module: nn.Module, x, p: float, deterministic: bool,
     the TPU hardware PRNG inside the applying kernel and REGENERATED in the
     backward, so no [b, t, h] mask bits are generated with the step PRNG,
     stored for the bwd, or moved through HBM.  Same P(keep)=1-p, different
-    bit stream (deterministic per seed; the `--fast-rng` trade).
+    bit stream (deterministic per seed; the `--fast-rng` trade).  `site`
+    is a static per-call-site counter folded into the kernel's second seed
+    word so two sites whose 32-bit key folds collide (birthday effect over
+    ~25 sites/step on long runs) still draw distinct streams.
     Deterministic passes are identity on every backend."""
     if deterministic or p == 0.0:
         return x
@@ -107,7 +110,7 @@ def _hidden_dropout(module: nn.Module, x, p: float, deterministic: bool,
         seed = jnp.zeros((1,), jnp.uint32)
         bits = jax.random.bits(key, x.shape, jnp.uint32)
     return hw_dropout(x, seed, dropout_p=p, rng_bits=bits,
-                      interpret=not on_tpu)
+                      interpret=not on_tpu, site=site)
 
 
 def _select_impl(attention_impl: str, deterministic: bool,
@@ -180,6 +183,7 @@ class BertSelfAttention(nn.Module):
     config: BertConfig
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
+    layer_idx: int = 0
 
     @nn.compact
     def __call__(self, x, attn_bias, attention_mask, deterministic=True):
@@ -219,7 +223,7 @@ class BertSelfAttention(nn.Module):
                 attn_bias[:, 0, 0, :], seed,
                 dropout_p=p,
                 sm_scale=float(1.0 / np.sqrt(hd)),
-                rng_bits=bits, interpret=not on_tpu)
+                rng_bits=bits, interpret=not on_tpu, site=self.layer_idx)
             ctx = jnp.transpose(ctx, (0, 2, 1, 3))
         elif impl == "flash":
             from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -250,17 +254,20 @@ class BertLayer(nn.Module):
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
     hidden_dropout_impl: str = "auto"
+    layer_idx: int = 0
 
     @nn.compact
     def __call__(self, x, attn_bias, attention_mask, deterministic=True):
         cfg = self.config
         attn_out = BertSelfAttention(cfg, self.dtype, self.attention_impl,
+                                     layer_idx=self.layer_idx,
                                      name="attention_self")(
             x, attn_bias, attention_mask, deterministic)
         attn_out = nn.Dense(cfg.hidden_size, dtype=self.dtype,
                             param_dtype=jnp.float32, name="attention_output_dense")(attn_out)
         attn_out = _hidden_dropout(self, attn_out, cfg.hidden_dropout_prob,
-                                   deterministic, self.hidden_dropout_impl)
+                                   deterministic, self.hidden_dropout_impl,
+                                   site=1 + 2 * self.layer_idx)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="attention_output_LayerNorm")(x + attn_out).astype(self.dtype)
         inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
@@ -269,7 +276,8 @@ class BertLayer(nn.Module):
         out = nn.Dense(cfg.hidden_size, dtype=self.dtype,
                        param_dtype=jnp.float32, name="output_dense")(inter)
         out = _hidden_dropout(self, out, cfg.hidden_dropout_prob,
-                              deterministic, self.hidden_dropout_impl)
+                              deterministic, self.hidden_dropout_impl,
+                              site=2 + 2 * self.layer_idx)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="output_LayerNorm")(x + out).astype(self.dtype)
         return x
@@ -301,7 +309,8 @@ class BertModel(nn.Module):
         hidden_states = [x.astype(jnp.float32)]
         for i in range(cfg.num_hidden_layers):
             x = BertLayer(cfg, self.dtype, self.attention_impl,
-                          self.hidden_dropout_impl, name=f"layer_{i}")(
+                          self.hidden_dropout_impl, layer_idx=i,
+                          name=f"layer_{i}")(
                 x, attn_bias, attention_mask, deterministic)
             hidden_states.append(x.astype(jnp.float32))
         return hidden_states[-1], tuple(hidden_states)

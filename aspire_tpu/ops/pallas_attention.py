@@ -93,13 +93,16 @@ def _recompute_probs(q, k, bias_row, keep, dropout_p, sm_scale, dtype):
     return probs, pd
 
 
-def _seed_program(seed_ref):
+def _seed_program(seed_ref, site: int):
     """Seed the hardware PRNG once per program; heads inside the program
     then draw sequentially from the stream (same order fwd and bwd ->
-    bit-identical masks).  Mosaic caps prng_seed at 2 words, so the
-    (batch, head-block) grid position folds into one."""
+    bit-identical masks).  Mosaic caps prng_seed at 2 words, so the static
+    per-call-site counter (bits 20+, disambiguating layers whose 32-bit key
+    folds collide) and the (batch, head-block) grid position fold into
+    one."""
     pltpu.prng_seed(seed_ref[0],
-                    pl.program_id(0) * pl.num_programs(1)
+                    (site << 20)
+                    + pl.program_id(0) * pl.num_programs(1)
                     + pl.program_id(1))
 
 
@@ -115,13 +118,13 @@ def _draw_keep(bits_ref, jj: int, t: int, thresh: int):
 
 
 def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, *rest,
-                dropout_p: float, sm_scale: float, hpb: int):
+                dropout_p: float, sm_scale: float, hpb: int, site: int):
     # refs arrive inputs-first: (... [, bits_ref], o_ref)
     bits_ref, o_ref = rest if len(rest) == 2 else (None, rest[0])
     t = q_ref.shape[2]
     dtype = q_ref.dtype
     if bits_ref is None and dropout_p > 0.0:
-        _seed_program(seed_ref)
+        _seed_program(seed_ref, site)
     for jj in range(hpb):
         keep = (None if dropout_p == 0.0 else
                 _draw_keep(bits_ref, jj, t, _keep_threshold(dropout_p)))
@@ -134,14 +137,14 @@ def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, *rest,
 
 
 def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, g_ref, *rest,
-                dropout_p: float, sm_scale: float, hpb: int):
+                dropout_p: float, sm_scale: float, hpb: int, site: int):
     # refs arrive inputs-first: (... [, bits_ref], dq_ref, dk_ref, dv_ref)
     bits_ref = rest[0] if len(rest) == 4 else None
     dq_ref, dk_ref, dv_ref = rest[-3:]
     t = q_ref.shape[2]
     dtype = q_ref.dtype
     if bits_ref is None and dropout_p > 0.0:
-        _seed_program(seed_ref)
+        _seed_program(seed_ref, site)
     for jj in range(hpb):
         q, k, v, g = q_ref[0, jj], k_ref[0, jj], v_ref[0, jj], g_ref[0, jj]
         keep = (None if dropout_p == 0.0 else
@@ -188,10 +191,11 @@ def _specs(t, hd, hpb):
 
 @lru_cache(maxsize=None)
 def _build(dropout_p: float, sm_scale: float, use_bits: bool,
-           interpret: bool, hpb: int):
-    """custom_vjp'd fused attention for fixed (p, scale, bits-mode, hpb)."""
+           interpret: bool, hpb: int, site: int):
+    """custom_vjp'd fused attention for fixed (p, scale, bits-mode, hpb,
+    site)."""
 
-    kw = dict(dropout_p=dropout_p, sm_scale=sm_scale, hpb=hpb)
+    kw = dict(dropout_p=dropout_p, sm_scale=sm_scale, hpb=hpb, site=site)
     params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"),
         vmem_limit_bytes=100 * 1024 * 1024)
@@ -251,14 +255,18 @@ def _build(dropout_p: float, sm_scale: float, use_bits: bool,
 def fused_dropout_attention(q, k, v, bias, seed, *, dropout_p: float,
                             sm_scale: float, rng_bits: jax.Array | None = None,
                             interpret: bool = False,
-                            heads_per_block: int | None = None) -> jax.Array:
+                            heads_per_block: int | None = None,
+                            site: int = 0) -> jax.Array:
     """Fused scores+softmax+dropout+context, nothing intermediate in HBM.
 
     q, k, v: [b, nh, t, hd] compute dtype (bf16 or f32).
     bias:    [b, t] f32 additive key mask (0 at real tokens, -1e9 at pads).
     seed:    int32 [1] -- per-call stream seed (fold the layer/micro rng key
              down to one int; each (batch, head) program reseeds with
-             (seed, b, h)).  Ignored when rng_bits is given.
+             (seed, site<<20 | grid position)).  Ignored when rng_bits is
+             given.
+    site:    static per-call-site (layer) counter < 2**11 so two layers whose
+             32-bit key folds collide still draw distinct streams.
     rng_bits: optional uint32 [b, nh, t, t] pre-drawn bits -- the testable /
              non-TPU path (the TPU interpreter stubs the hardware PRNG).
     dropout_p / sm_scale: static; p must be in [0, 1).
@@ -292,8 +300,12 @@ def fused_dropout_attention(q, k, v, bias, seed, *, dropout_p: float,
         heads_per_block = max(h for h in range(1, min(nh, 4) + 1)
                               if nh % h == 0)
     assert nh % heads_per_block == 0, (nh, heads_per_block)
+    # site shares the second seed word above bit 20; the grid position must
+    # stay below it (b * head_blocks is a few hundred at BERT shapes)
+    assert 0 <= site < (1 << 11), site
+    assert q.shape[0] * (nh // heads_per_block) < (1 << 20), q.shape
     fn = _build(float(dropout_p), float(sm_scale), use_bits, bool(interpret),
-                int(heads_per_block))
+                int(heads_per_block), int(site))
     bits = rng_bits if use_bits else jnp.zeros((1,), jnp.uint32)
     bias = jnp.asarray(bias, jnp.float32)[:, None, :]
     return fn(q, k, v, bias, seed, bits)

@@ -51,14 +51,19 @@ def dropout_reference(x, keep, dropout_p: float):
     return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
 
 
-def _apply_kernel(seed_ref, x_ref, *rest, dropout_p: float):
+def _apply_kernel(seed_ref, x_ref, *rest, dropout_p: float, site: int):
     """out = where(keep, x/(1-p), 0); used for BOTH fwd (x) and bwd (g) —
-    dropout's vjp is the same masked scale applied to the cotangent."""
+    dropout's vjp is the same masked scale applied to the cotangent.
+
+    `site` is a STATIC per-call-site counter folded into the second seed
+    word (bits 16+) alongside program_id: two sites whose 32-bit key folds
+    collide (birthday effect over ~25 sites/step on long runs) still draw
+    distinct hardware-PRNG streams."""
     bits_ref, o_ref = rest if len(rest) == 2 else (None, rest[0])
     if bits_ref is not None:
         bits = bits_ref[...]
     else:
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0], (site << 16) + pl.program_id(0))
         bits = pltpu.bitcast(pltpu.prng_random_bits(x_ref.shape), jnp.uint32)
     keep = bits >= jnp.uint32(_keep_threshold(dropout_p))
     x = x_ref[...]
@@ -71,25 +76,31 @@ def _block_rows(rows: int, dtype, h: int, max_vmem: int = 8 << 20) -> int:
 
     Blocks must be whole along dim -2 or a multiple of the dtype sublane
     count (8 f32 / 16 bf16); cap the block so in+out double-buffering stays
-    comfortably inside VMEM, falling back to one whole block when `rows`
-    has no legal divisor (always tiling-legal: a whole dim is exempt)."""
+    comfortably inside VMEM.  Callers pad `rows` to a sublane multiple
+    (hw_dropout), so a legal block <= cap always exists (b = sub divides
+    rows and the cap is far above sub for any realistic h); the whole-block
+    fallback therefore only fires when it genuinely fits the budget, and we
+    assert that loudly rather than compile a VMEM-busting block."""
     sub = 16 if dtype == jnp.bfloat16 else 8
     cap = max(1, max_vmem // (2 * h * jnp.dtype(dtype).itemsize))
-    best = rows  # whole-block fallback
     for b in range(min(rows, cap), 0, -1):
         if rows % b == 0 and b % sub == 0:
-            best = b
-            break
-    return best
+            return b
+    assert rows * h * jnp.dtype(dtype).itemsize * 2 <= max_vmem, (
+        f"dropout block [{rows}, {h}] {jnp.dtype(dtype).name} has no "
+        f"sublane-aligned divisor within the {max_vmem >> 20} MiB VMEM "
+        f"budget; pad rows to a multiple of {sub} before the kernel")
+    return rows  # whole-block fallback, proven to fit
 
 
 @lru_cache(maxsize=None)
-def _build(dropout_p: float, use_bits: bool, interpret: bool):
-    """custom_vjp'd hardware-PRNG dropout for fixed (p, bits-mode)."""
+def _build(dropout_p: float, use_bits: bool, interpret: bool, site: int):
+    """custom_vjp'd hardware-PRNG dropout for fixed (p, bits-mode, site)."""
 
     def call(x, seed, bits):
         rows, h = x.shape
         br = _block_rows(rows, x.dtype, h)
+        assert rows // br < (1 << 16), (rows, br)  # program_id shares word 2
         blk = pl.BlockSpec((br, h), lambda i: (i, 0))
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), blk]
         ops = (seed, x)
@@ -97,7 +108,7 @@ def _build(dropout_p: float, use_bits: bool, interpret: bool):
             in_specs.append(blk)
             ops = ops + (bits,)
         return pl.pallas_call(
-            partial(_apply_kernel, dropout_p=dropout_p),
+            partial(_apply_kernel, dropout_p=dropout_p, site=site),
             grid=(rows // br,),
             in_specs=in_specs,
             out_specs=blk,
@@ -125,13 +136,15 @@ def _build(dropout_p: float, use_bits: bool, interpret: bool):
 
 def hw_dropout(x, seed, *, dropout_p: float,
                rng_bits: jax.Array | None = None,
-               interpret: bool = False) -> jax.Array:
+               interpret: bool = False, site: int = 0) -> jax.Array:
     """Dropout with hardware-PRNG bits; nothing mask-shaped touches HBM.
 
     x:        [..., h] compute dtype (bf16/f32); flattened to [rows, h].
     seed:     int32/uint32 [1] per-call stream seed (fold the site's rng key
               down to one word; each grid program reseeds with
-              (seed, program_id)).  Ignored when rng_bits is given.
+              (seed, site<<16 | program_id)).  Ignored when rng_bits is given.
+    site:     static per-call-site counter (e.g. 2*layer+k) disambiguating
+              sites whose 32-bit key folds collide.  Must be < 2**15.
     rng_bits: optional uint32 with x's shape — pre-drawn bits, the testable /
               non-TPU path (the TPU interpreter stubs the hardware PRNG).
     dropout_p: static, in [0, 1).
@@ -149,10 +162,21 @@ def hw_dropout(x, seed, *, dropout_p: float,
         rows *= d
     x2 = x.reshape(rows, h)
     use_bits = rng_bits is not None
+    # pad rows to the dtype sublane multiple: guarantees _block_rows a legal
+    # small divisor, so odd/prime row counts never force a whole-[rows, h]
+    # VMEM block (hot-path shapes are b*t rows, already aligned -> no-op)
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    pad = (-rows) % sub
+    if pad:
+        x2 = jnp.concatenate([x2, jnp.zeros((pad, h), x.dtype)])
     if use_bits:
         assert rng_bits.dtype == jnp.uint32, rng_bits.dtype
         assert rng_bits.shape == shape, (rng_bits.shape, shape)
         bits = rng_bits.reshape(rows, h)
+        if pad:
+            # pad with keep-everything bits (max u32 >= any threshold)
+            bits = jnp.concatenate(
+                [bits, jnp.full((pad, h), 0xFFFFFFFF, jnp.uint32)])
     else:
         bits = jnp.zeros((1,), jnp.uint32)
     seed = jnp.reshape(jnp.asarray(seed), (1,))
@@ -162,5 +186,9 @@ def hw_dropout(x, seed, *, dropout_p: float,
         seed = jax.lax.bitcast_convert_type(seed, jnp.int32)
     else:
         seed = seed.astype(jnp.int32)
-    fn = _build(float(dropout_p), use_bits, bool(interpret))
-    return fn(x2, seed, bits).reshape(shape)
+    assert 0 <= site < (1 << 15), site
+    fn = _build(float(dropout_p), use_bits, bool(interpret), int(site))
+    out = fn(x2, seed, bits)
+    if pad:
+        out = out[:rows]
+    return out.reshape(shape)

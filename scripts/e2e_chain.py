@@ -213,7 +213,7 @@ def stage_data(root: pathlib.Path, sc: dict, seed: int = 0) -> None:
     #      two-model pipeline (reference main_sentsim.py + cosentbert) ----
     sent_cfg = {
         "model_name": "cosentbert", "base-pt-layer": str(tok_dir),
-        "score_aggregation": "l2max", "train_suffix": "cocitsents",
+        "score_aggregation": "l2max", "train_suffix": "coppsent",
         "train_size": summary["sent_examples"]["train"],
         "dev_size": summary["sent_examples"]["dev"],
         "num_epochs": sc["epochs"], "batch_size": max(8, sc["micro"]),
@@ -281,8 +281,8 @@ def stage_sentenc(root: pathlib.Path, sc: dict) -> None:
     """Train the cosentbert sentence encoder on the mined sentence pairs
     (reference main_sentsim.py train_model)."""
     args = ["train", "--config", str(root / "config-sentenc.json"),
-            "--train", str(root / "triples" / "train-cocitsents.jsonl"),
-            "--dev", str(root / "triples" / "dev-cocitsents.jsonl"),
+            "--train", str(root / "triples" / "train-coppsent.jsonl"),
+            "--dev", str(root / "triples" / "dev-coppsent.jsonl"),
             "--out", str(root / "run-sentenc"),
             "--tokenizer", str(root / "tokenizer"),
             "--seq-len", str(min(64, sc["seq_len"])),

@@ -103,7 +103,10 @@ def test_keep_rate():
 def test_bert_fused_integration():
     """BertModel(attention_impl='fused'):
 
-    * deterministic passes fall back to naive -> EXACTLY equal to 'auto';
+    * deterministic passes match 'auto' EXACTLY — on TPU both select the
+      p=0 'fused_det' kernel, off-TPU (this CPU test) both fall back to
+      naive (_select_impl's on_tpu parameter; the on-chip fused_det parity
+      run lives in scripts/check_fused_det.py);
     * training passes run the kernel (CPU bits path), are finite, differ
       from deterministic, and grads flow finite through the custom_vjp.
     """

@@ -76,10 +76,28 @@ def test_block_rows_legal():
     assert _block_rows(3072, jnp.float32, 768) % 8 == 0
     assert 3072 % _block_rows(3072, jnp.float32, 768) == 0
     assert _block_rows(3072, jnp.bfloat16, 768) % 16 == 0
-    # no sublane-multiple divisor (3000 = 2^3*3*5^3 has no 16-multiple
-    # factor) and prime rows: whole-block fallback, legal as a whole dim
-    assert _block_rows(3000, jnp.bfloat16, 768) == 3000
+    # whole-block fallback only when it FITS the VMEM budget (37*128 f32
+    # doubles to ~38 KB); hw_dropout pads rows to a sublane multiple so the
+    # fallback never fires on large unaligned shapes
     assert _block_rows(37, jnp.float32, 128) == 37
+    # padded rows always find a small sublane-legal divisor under the cap
+    br = _block_rows(3008, jnp.bfloat16, 768)
+    assert br % 16 == 0 and 3008 % br == 0 and br < 3008
+    # a VMEM-busting unaligned block asserts loudly instead of compiling
+    with pytest.raises(AssertionError):
+        _block_rows(3000, jnp.bfloat16, 768)
+
+
+def test_unaligned_rows_padded():
+    """Odd row counts route through the pad-to-sublane path and still match
+    the oracle exactly on the real rows."""
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(13, 64)),
+                    jnp.float32)     # 13 rows: no sublane divisor, pads to 16
+    _, bits = _inputs(x.shape, jnp.float32, seed=2)
+    got = np.asarray(_run(x, bits))
+    keep = np.asarray(bits) >= np.uint32(_keep_threshold(P))
+    want = np.asarray(dropout_reference(x, jnp.asarray(keep), P))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_nn_dropout_distribution_equivalence():

@@ -92,12 +92,117 @@ def test_generate_sent_and_ict(tmp_path, rng):
                                 ("p3", "sent three is here")],
                    ("c", "d"): [("p4", "only one context")]}
     counts = generate_examples_sent_rand(cocits_sent, str(tmp_path))
-    assert counts["train"] + counts["dev"] == 1  # second key has < 2 contexts
+    # reference combinatorics (pre_proc_cocits.py:294-318): ALL length-2
+    # combinations per group -> C(3,2)=3 from the first key, C(1,2)=0 from
+    # the second
+    assert counts["train"] + counts["dev"] == 3
+    exs = []
+    for split in ("train", "dev"):
+        p = tmp_path / f"{split}-coppsent.jsonl"
+        if p.exists():
+            exs += [json.loads(l) for l in open(p)]
+    assert len(exs) == 3
+    for ex in exs:
+        # reference schema: raw sentence strings + citing/cited metadata
+        assert isinstance(ex["query"], str) and isinstance(ex["pos_context"], str)
+        assert len(ex["citing_pids"]) == 2
+        assert ex["cited_pids"] == ["a", "b"]
+    # pairs are ordered combinations of the group's contexts
+    assert {(e["query"], e["pos_context"]) for e in exs} == {
+        ("sent one is here", "sent two is here"),
+        ("sent one is here", "sent three is here"),
+        ("sent two is here", "sent three is here")}
     pid2abs = {f"p{i}": make_abs(rng, i) for i in range(5)}
     n = generate_examples_ict(pid2abs, str(tmp_path), n_examples=7)
     assert n == 7
     lines = [json.loads(l) for l in open(tmp_path / "train-ict.jsonl")]
     assert all(len(ex["query"]["ABSTRACT"]) == 1 for ex in lines)
+
+
+def test_sent_rand_dev_negatives_from_dev_split(tmp_path):
+    """Dev negatives are frozen and drawn from the DEV split's groups
+    (pre_proc_cocits.py:308-312)."""
+    cocits_sent = {
+        (f"x{i}", f"y{i}"): [(f"c{i}a", f"context alpha number {i}"),
+                             (f"c{i}b", f"context beta number {i}")]
+        for i in range(10)
+    }
+    counts = generate_examples_sent_rand(cocits_sent, str(tmp_path))
+    assert counts["train"] == 8 and counts["dev"] == 2  # C(2,2)=1 per group
+    dev = [json.loads(l) for l in open(tmp_path / "dev-coppsent.jsonl")]
+    train = [json.loads(l) for l in open(tmp_path / "train-coppsent.jsonl")]
+    assert all("neg_context" in ex for ex in dev)
+    assert all("neg_context" not in ex for ex in train)
+    dev_groups = {tuple(ex["cited_pids"]) for ex in dev}
+    dev_sents = {s for g in dev_groups for _, s in cocits_sent[g]}
+    assert all(ex["neg_context"] in dev_sents for ex in dev)
+    # determinism: same seed -> identical files
+    generate_examples_sent_rand(cocits_sent, str(tmp_path / "b"))
+    assert (tmp_path / "dev-coppsent.jsonl").read_text() == \
+           (tmp_path / "b" / "dev-coppsent.jsonl").read_text()
+
+
+def test_generate_cocitabs_contexts(tmp_path, rng):
+    """The cospecter-contexts variant (generate_examples_cocitabs_contexts_rand,
+    pre_proc_cocits.py:612-699): contexts bundled INSIDE pos_context,
+    negatives from valid co-cite sets, C(len(group), 2) examples per group."""
+    from aspire_tpu.data.preprocess import generate_examples_cocitabs_contexts
+    pids = [f"p{i}" for i in range(12)]
+    pid2abstract = {p: make_abs(rng, p) for p in pids}
+    cocits = {}
+    for i in range(0, 12, 3):   # groups of 3 cocited pids -> C(3,2)=3 each
+        cocits[(pids[i], pids[i + 1], pids[i + 2])] = [
+            (f"c{i}", f"citing context number ({i}) with plenty of tokens"),
+            (f"c{i}x", f"second context [{i}] also with plenty of tokens"),
+        ]
+    counts = generate_examples_cocitabs_contexts(cocits, pid2abstract,
+                                                 str(tmp_path))
+    # 4 groups -> 80/20 split = 3 train + 1 dev, x3 combinations
+    assert counts["train"] == 9 and counts["dev"] == 3
+    train = [json.loads(l) for l in open(tmp_path / "train-concocitabs-seq.jsonl")]
+    dev = [json.loads(l) for l in open(tmp_path / "dev-concocitabs-seq.jsonl")]
+    for ex in train + dev:
+        assert set(ex["query"]) == {"TITLE", "ABSTRACT"}
+        assert "citing_contexts" in ex["pos_context"]
+        assert "citing_pids" in ex["pos_context"]
+        assert len(ex["pos_context"]["citing_contexts"]) == \
+               len(ex["pos_context"]["citing_pids"]) == 2
+        assert len(ex["cited_pids"]) == 3
+        assert "citing_contexts" not in ex    # NOT at top level (vs cocitabs)
+    for ex in dev:
+        neg = ex["neg_context"]
+        assert "citing_contexts" in neg and "citing_pids" in neg
+    assert all("neg_context" not in ex for ex in train)
+
+
+def test_coppsent_roundtrips_triplestream(tmp_path):
+    """The raw-string sentence files feed TripleStream/dev_batches directly
+    (the readers wrap bare strings into the abstract-dict contract)."""
+    from aspire_tpu.data.readers import TripleStream, dev_batches
+    from aspire_tpu.core.config import ModelHParams
+    from transformers import BertTokenizer
+    cocits_sent = {
+        (f"x{i}", f"y{i}"): [(f"c{i}a", f"context alpha number {i}"),
+                             (f"c{i}b", f"context beta number {i}"),
+                             (f"c{i}c", f"context gamma number {i}")]
+        for i in range(8)
+    }
+    generate_examples_sent_rand(cocits_sent, str(tmp_path))
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "context",
+             "alpha", "beta", "gamma", "number"]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    tok = BertTokenizer(str(tmp_path / "vocab.txt"))
+    hp = ModelHParams(max_sents=4)
+    stream = TripleStream(str(tmp_path / "train-coppsent.jsonl"), tok, hp,
+                          micro_batch=2, n_micro=2, seq_len=32)
+    batches = list(stream)
+    assert batches, "train stream yielded no superbatches"
+    b = batches[0]
+    assert b["query"]["token_ids"].shape == (2, 2, 32)
+    assert (b["query"]["abs_lens"] == 1).all()   # one sentence per example
+    devs = list(dev_batches(str(tmp_path / "dev-coppsent.jsonl"), tok, hp,
+                            batch_size=2, seq_len=32))
+    assert devs and "neg" in devs[0]
 
 
 def test_scidocs_converter(tmp_path):
