@@ -75,6 +75,17 @@ def cmd_train(args):
     cfg.extra["bert_config"] = dataclasses.asdict(bert_config)
     import jax.numpy as jnp
     compute_dtype = jnp.bfloat16 if args.bf16_compute else jnp.float32
+    if args.bit_reproducible:
+        # threefry-stream reproducibility: naive nn.Dropout at every site
+        # and naive attention numerics (the hardware-PRNG kernels are
+        # deterministic per seed too, but draw DIFFERENT bit streams)
+        if (args.attention_impl in ("fused", "flash")
+                or args.hidden_dropout_impl == "fused" or args.fast_rng):
+            raise SystemExit("--bit-reproducible conflicts with "
+                             "--attention-impl fused/flash, "
+                             "--hidden-dropout-impl fused and --fast-rng")
+        args.attention_impl = args.attention_impl or "naive"
+        args.hidden_dropout_impl = args.hidden_dropout_impl or "naive"
     if args.attention_impl:
         cfg.model = dataclasses.replace(cfg.model,
                                         attention_impl=args.attention_impl)
@@ -756,15 +767,20 @@ def build_parser():
                    help="multi-host: this process's rank (0-based)")
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--tiny", action="store_true", help="tiny BERT (smoke test)")
-    t.add_argument("--bf16-compute", action="store_true",
+    t.add_argument("--bf16-compute", default=True,
+                   action=argparse.BooleanOptionalAction,
                    help="bf16 activations (params/optimizer stay f32): ~2x "
-                        "MXU throughput and half the activation HBM on TPU")
-    t.add_argument("--fused-accum", action="store_true",
+                        "MXU throughput and half the activation HBM on TPU. "
+                        "Default ON (the measured-best config); "
+                        "--no-bf16-compute restores f32 activations")
+    t.add_argument("--fused-accum", default=True,
+                   action=argparse.BooleanOptionalAction,
                    help="fuse gradient accumulation into one wide encode "
-                        "(exact same summed gradients; helps when SHORT "
-                        "micro batches underfill the chip -- at the full "
-                        "t=512 reference shape the scan is ~11%% faster, "
-                        "benchmarks/train_bench.py)")
+                        "(exact same summed gradients).  Default ON: it "
+                        "beats scan accumulation in every measured mode "
+                        "(benchmarks/train_bench.py, RESULTS_r4); "
+                        "--no-fused-accum restores the lax.scan loop "
+                        "(lower peak activation memory)")
     t.add_argument("--fast-tokenizer", action="store_true",
                    help="use the native C++ WordPiece tokenizer")
     t.add_argument("--fast-rng", action="store_true",
@@ -774,19 +790,27 @@ def build_parser():
                         "seed but a different stream than the default")
     t.add_argument("--attention-impl", default=None,
                    choices=["auto", "naive", "flash", "fused"],
-                   help="BERT attention backend; 'fused' runs dropout "
-                        "training passes through the pallas kernel that "
-                        "keeps probs+masks in VMEM and draws dropout bits "
-                        "from the TPU hardware PRNG (fastest; deterministic "
-                        "per seed, different mask stream than naive)")
+                   help="BERT attention backend; the default 'auto' runs "
+                        "every TPU pass through the fused pallas kernel "
+                        "(probs+masks stay VMEM-resident; dropout bits from "
+                        "the TPU hardware PRNG -- deterministic per seed, "
+                        "different mask stream than naive; see "
+                        "--bit-reproducible)")
     t.add_argument("--hidden-dropout-impl", default=None,
                    choices=["auto", "naive", "fused"],
-                   help="hidden/embedding dropout backend; 'fused' draws "
-                        "the keep masks from the TPU hardware PRNG inside "
-                        "a pallas kernel (ops/pallas_dropout.py) so no "
-                        "[b,t,h] mask bits are generated, stored for the "
+                   help="hidden/embedding dropout backend; the default "
+                        "'auto' draws keep masks from the TPU hardware PRNG "
+                        "inside a pallas kernel (ops/pallas_dropout.py) so "
+                        "no [b,t,h] mask bits are generated, stored for the "
                         "backward, or moved through HBM (same stream trade "
-                        "as --attention-impl fused)")
+                        "as attention; see --bit-reproducible)")
+    t.add_argument("--bit-reproducible", action="store_true",
+                   help="reproduce the documented threefry dropout bit "
+                        "streams exactly: forces naive (nn.Dropout) "
+                        "attention-prob and hidden dropout and naive "
+                        "attention numerics.  ~1.3x slower at the reference "
+                        "config (266 vs 207 ms/step, RESULTS_r4); same "
+                        "keep-probability either way")
     t.add_argument("--seq-buckets",
                    help="comma-separated length buckets, e.g. 192,320,512")
     t.add_argument("--shuffle-seed", type=int, default=None,

@@ -585,24 +585,54 @@ class SbertSimilarityModel(SimilarityModel):
 
 
 class TrainedSentSimilarityModel(SimilarityModel):
-    """Per-sentence CLS encoder eval model (cosentbert / ictsentbert).
+    """Per-sentence encoder eval model (cosentbert / ictsentbert / SimCSE).
 
-    The reference wraps these as SentenceTransformers and scores with cosine
-    max-sim (TrainedSentModel, utils/models.py:570-604).  Here each abstract
-    sentence is encoded separately by the trained tower's CLS rep.
+    The reference wraps the trained towers as SentenceTransformers and
+    scores with cosine max-sim (TrainedSentModel, utils/models.py:570-604);
+    the SimCSE baselines encode each sentence and return `pooler_output`
+    (SimCSE, utils/models.py:322-357) and rank through the same
+    score_type='cosine' sent path (pp_gen_nearest.py:1009-1072).  Here each
+    abstract sentence is encoded separately: CLS rep by default, or
+    tanh(dense(CLS)) when `pooler_params` is given.
     """
 
     def __init__(self, name: str, bert_config: BertConfig, params, tokenizer,
-                 batch_size: int = 8, max_toks: int = 500):
+                 batch_size: int = 8, max_toks: int = 500,
+                 pooler_params=None):
         super().__init__(name=name, encoding_type="sentence", batch_size=batch_size)
         self.tokenizer = tokenizer
         self.max_toks = max_toks
         enc = BertModel(bert_config)
 
         params = jax.device_put(params)  # on-device once
-        _encode = jax.jit(lambda p, t, a: enc.apply(
-            {"params": p}, t, a)[0][:, 0, :])  # params as arg (see Aspire model)
-        self._encode_jit = lambda *xs: _encode(params, *xs)
+        if pooler_params is not None:
+            from ..models.bert import BertPooler
+            pooler = BertPooler(bert_config)
+            pparams = jax.device_put(pooler_params)
+            _encode = jax.jit(lambda p, pp, t, a: pooler.apply(
+                {"params": pp}, enc.apply({"params": p}, t, a)[0]))
+            self._encode_jit = lambda *xs: _encode(params, pparams, *xs)
+        else:
+            _encode = jax.jit(lambda p, t, a: enc.apply(
+                {"params": p}, t, a)[0][:, 0, :])  # params as arg (see Aspire model)
+            self._encode_jit = lambda *xs: _encode(params, *xs)
+
+    @classmethod
+    def from_hf_dir(cls, name: str, model_dir: str, **kw):
+        """SimCSE-style per-sentence pooler encoder from a local HF dir."""
+        import transformers
+        from ..models.convert import (params_from_hf_model, config_from_hf,
+                                      pooler_params_from_hf_state_dict)
+        hf = transformers.AutoModel.from_pretrained(model_dir)
+        tokenizer = transformers.AutoTokenizer.from_pretrained(model_dir)
+        cfg = config_from_hf(hf.config)
+        pooler = pooler_params_from_hf_state_dict(hf.state_dict())
+        assert pooler is not None, (
+            f"{model_dir} has no pooler head; SimCSE encode returns "
+            "pooler_output (reference utils/models.py:330-357)")
+        return cls(name=name, bert_config=cfg,
+                   params=params_from_hf_model(hf, cfg), tokenizer=tokenizer,
+                   pooler_params=pooler, **kw)
 
     def encode(self, batch_papers: list[dict]):
         sents, splits, cur = [], [], 0
@@ -753,9 +783,15 @@ def get_model(model_name: str, trained_model_path: str | None = None,
     if model_name in {"sbtinybertsota", "sbrobertanli", "sbmpnet1B"}:
         assert weights_dir, f"{model_name} needs a local weights_dir"
         return SbertSimilarityModel(model_name, weights_dir, **kw)
-    if model_name in {"specter", "supsimcse", "unsupsimcse"}:
+    if model_name == "specter":
         assert weights_dir, f"{model_name} needs a local weights_dir"
         return ClsSimilarityModel.from_hf_dir(model_name, weights_dir, **kw)
+    if model_name in {"supsimcse", "unsupsimcse"}:
+        # per-SENTENCE pooler_output reps, max-cosine ranking (reference
+        # SimCSE utils/models.py:322-357 + the sent rank path)
+        assert weights_dir, f"{model_name} needs a local weights_dir"
+        return TrainedSentSimilarityModel.from_hf_dir(model_name, weights_dir,
+                                                      **kw)
     if model_name == "specter_ner":
         assert weights_dir, f"{model_name} needs a local weights_dir"
         m = ClsNERSimilarityModel.from_hf_dir(model_name, weights_dir, **kw)

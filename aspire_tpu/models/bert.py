@@ -84,24 +84,29 @@ def _hidden_dropout(module: nn.Module, x, p: float, deterministic: bool,
                     impl: str, site: int = 0):
     """Hidden/embedding dropout site with a backend knob.
 
-    'auto'/'naive': `nn.Dropout` (threefry/rbg step keys — exact HF
-    semantics, reference HF BertModel / disent_models.py:229).
-    'fused': ops/pallas_dropout.hw_dropout — the keep mask is drawn from
-    the TPU hardware PRNG inside the applying kernel and REGENERATED in the
-    backward, so no [b, t, h] mask bits are generated with the step PRNG,
-    stored for the bwd, or moved through HBM.  Same P(keep)=1-p, different
-    bit stream (deterministic per seed; the `--fast-rng` trade).  `site`
-    is a static per-call-site counter folded into the kernel's second seed
-    word so two sites whose 32-bit key folds collide (birthday effect over
-    ~25 sites/step on long runs) still draw distinct streams.
-    Deterministic passes are identity on every backend."""
+    'fused' — and 'auto' ON TPU — run ops/pallas_dropout.hw_dropout: the
+    keep mask is drawn from the TPU hardware PRNG inside the applying
+    kernel and REGENERATED in the backward, so no [b, t, h] mask bits are
+    generated with the step PRNG, stored for the bwd, or moved through HBM
+    (266.3 -> 211.5 ms/step at the reference config under default threefry
+    step keys, RESULTS_r4).  Deterministic per seed, but a different bit
+    stream than nn.Dropout; `--bit-reproducible` / 'naive' restores the
+    threefry stream.  `site` is a static per-call-site counter folded into
+    the kernel's second seed word so two sites whose 32-bit key folds
+    collide (birthday effect over ~25 sites/step on long runs) still draw
+    distinct streams.
+
+    'naive' — and 'auto' OFF TPU — run `nn.Dropout` (threefry/rbg step
+    keys — exact HF semantics, reference HF BertModel /
+    disent_models.py:229).  Deterministic passes are identity on every
+    backend."""
     if deterministic or p == 0.0:
         return x
-    if impl != "fused":
+    on_tpu = jax.default_backend() == "tpu"
+    if not (impl == "fused" or (impl == "auto" and on_tpu)):
         return nn.Dropout(p)(x, deterministic=False)
     from ..ops.pallas_dropout import hw_dropout
     key = module.make_rng("dropout")
-    on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         seed, bits = jax.random.bits(key, (1,), jnp.uint32), None
     else:
@@ -131,13 +136,17 @@ def _select_impl(attention_impl: str, deterministic: bool,
         f32 scores + bf16 probs round-tripping HBM.  Measured 7.85 -> 2.56
         ms per 60-seq attention fwd+bwd (3.1x); the full no-dropout train
         step drops 252.4 -> 193.2 ms (1.31x).
-      * dropout TRAINING passes -> 'naive': bit-exact HF dropout semantics
-        with threefry step keys stay the default; the kernel's hardware-PRNG
-        stream is the opt-in `--attention-impl fused` / `--fast-rng` trade.
+      * dropout TRAINING passes -> 'fused': the same kernel with its
+        hardware-PRNG dropout (~43 ms/step rbg, ~105 ms/step threefry saved
+        at the reference config; production step 266 -> 207 ms with fused
+        hidden dropout, RESULTS_r4).  Deterministic per seed but a
+        DIFFERENT mask bit stream than HF/threefry nn.Dropout —
+        `--bit-reproducible` (impl 'naive') restores the documented
+        threefry streams at the speed cost above.
 
-    'fused' opts training passes into the kernel's hardware-PRNG dropout
-    (~43 ms/step rbg, ~105 ms/step threefry saved at the reference config);
-    its deterministic passes run 'fused_det' too.
+    'fused' is now equivalent to 'auto' on TPU; off-TPU it additionally
+    forces dropout-training passes through the kernel's interpret/bits
+    path (CI parity tests).
 
     'flash' (jax.experimental pallas flash attention) stays available by
     explicit request for long-context derivatives; at every shape reachable
@@ -152,8 +161,8 @@ def _select_impl(attention_impl: str, deterministic: bool,
         if training_dropout:
             return "fused"
         return "fused_det" if on_tpu else "naive"
-    if attention_impl == "auto" and not training_dropout and on_tpu:
-        return "fused_det"
+    if attention_impl == "auto" and on_tpu:
+        return "fused" if training_dropout else "fused_det"
     return "naive"
 
 
@@ -314,3 +323,22 @@ class BertModel(nn.Module):
                 x, attn_bias, attention_mask, deterministic)
             hidden_states.append(x.astype(jnp.float32))
         return hidden_states[-1], tuple(hidden_states)
+
+
+class BertPooler(nn.Module):
+    """HF BertPooler: tanh(dense(CLS)) — the `pooler_output` head.
+
+    Kept OUTSIDE BertModel's param tree: the framework's own models score
+    from hidden states / CLS directly, and only the SimCSE baselines
+    (reference utils/models.py:322-357, which encode every sentence and
+    return `pooler_output`) need it.  Apply to `last_hidden_state`."""
+
+    config: BertConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, last_hidden_state):
+        cls = last_hidden_state[:, 0, :].astype(self.dtype)
+        out = nn.Dense(self.config.hidden_size, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="dense")(cls)
+        return jnp.tanh(out.astype(jnp.float32))

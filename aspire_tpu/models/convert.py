@@ -62,6 +62,20 @@ def params_from_hf_state_dict(state_dict: dict, config: BertConfig) -> dict:
     return params
 
 
+def pooler_params_from_hf_state_dict(state_dict: dict) -> dict | None:
+    """Extract the BertPooler (`pooler_output` head) params, if present.
+
+    Checkpoints saved with `add_pooling_layer=False` (and the aspire
+    encoders, which never use the pooler) lack the keys -> None.  Needed by
+    the SimCSE baselines, whose encode returns per-sentence pooler outputs
+    (reference utils/models.py:330-357)."""
+    sd = {k.removeprefix("bert."): v for k, v in state_dict.items()}
+    if "pooler.dense.weight" not in sd:
+        return None
+    return {"dense": {"kernel": _t(sd["pooler.dense.weight"]).T,
+                      "bias": _t(sd["pooler.dense.bias"])}}
+
+
 def params_from_hf_model(hf_model, config: BertConfig | None = None) -> dict:
     """Convert a live `transformers` BertModel (or model with .bert)."""
     if config is None:

@@ -110,18 +110,20 @@ def test_bienc_scalar_mix(tiny_pair, rng):
 
 def test_attention_impl_selection_policy():
     """The TPU branches can't run on the CPU CI backend, so pin the policy
-    itself: deterministic passes on TPU run the p=0 fused kernel
-    ('fused_det' -- VMEM-resident, measured 3.1x naive attention fwd+bwd
-    at the train shape, RESULTS_r4); dropout TRAINING passes default to
-    naive (bit-exact HF
-    dropout with threefry step keys) with the kernel's hardware-PRNG stream
-    opt-in via 'fused'.  Off-TPU everything is naive (the kernel only
-    lowers on TPU)."""
+    itself: on TPU, 'auto' runs deterministic passes through the p=0 fused
+    kernel ('fused_det' -- VMEM-resident, measured 3.1x naive attention
+    fwd+bwd at the train shape, RESULTS_r4) and dropout TRAINING passes
+    through the fused kernel's hardware-PRNG dropout (the measured-best
+    default; 'naive' / --bit-reproducible restores threefry nn.Dropout
+    bit streams).  Off-TPU everything is naive (the kernel only lowers on
+    TPU)."""
     from aspire_tpu.models.bert import _select_impl
     assert _select_impl("flash", False, 0.1) == "flash"
     assert _select_impl("auto", True, 0.1) == "fused_det"
     assert _select_impl("auto", True, 0.1, on_tpu=False) == "naive"
-    assert _select_impl("auto", False, 0.1) == "naive"   # training: dropout
+    # default-fast policy: TPU training-dropout passes run the fused kernel
+    assert _select_impl("auto", False, 0.1) == "fused"
+    assert _select_impl("auto", False, 0.1, on_tpu=False) == "naive"
     assert _select_impl("auto", False, 0.0) == "fused_det"  # p=0: no rng
     assert _select_impl("naive", True, 0.1) == "naive"
     assert _select_impl("fused", False, 0.1) == "fused"
@@ -131,11 +133,11 @@ def test_attention_impl_selection_policy():
 
 
 def test_auto_attention_trains_with_prob_dropout(rng):
-    """'auto' must route TRAINING passes at t>=512 through the naive path so
-    attention-prob dropout applies (HF BertSelfAttention semantics).  With
-    hidden dropout zeroed, a non-deterministic pass differs from the
-    deterministic one iff attention-prob dropout is live -- the flash path
-    (which skips it) would make them equal."""
+    """'auto' TRAINING passes must apply attention-prob dropout on every
+    backend (off-TPU naive here; the fused kernel's hardware-PRNG dropout
+    on TPU).  With hidden dropout zeroed, a non-deterministic pass differs
+    from the deterministic one iff attention-prob dropout is live -- the
+    flash path (which skips it) would make them equal."""
     import jax
     cfg = BertConfig(vocab_size=64, hidden_size=16, num_hidden_layers=1,
                      num_attention_heads=2, intermediate_size=32,
@@ -150,3 +152,33 @@ def test_auto_attention_trains_with_prob_dropout(rng):
     tr, _ = model.apply({"params": params}, tok, mask, deterministic=False,
                         rngs={"dropout": jax.random.key(1)})
     assert not np.allclose(np.asarray(det), np.asarray(tr), atol=1e-6)
+
+
+def test_pooler_matches_hf(rng):
+    """BertPooler == HF pooler_output (tanh(dense(CLS))): the SimCSE encode
+    head (reference utils/models.py:330-357)."""
+    from aspire_tpu.models.bert import BertPooler
+    from aspire_tpu.models.convert import pooler_params_from_hf_state_dict
+    hf_cfg = transformers.BertConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, type_vocab_size=2)
+    torch.manual_seed(3)
+    hf = transformers.BertModel(hf_cfg, add_pooling_layer=True).eval()
+    cfg = config_from_hf(hf_cfg)
+    params = params_from_hf_model(hf, cfg)
+    pooler_p = pooler_params_from_hf_state_dict(hf.state_dict())
+    assert pooler_p is not None
+    ids = rng.integers(5, 128, (3, 17)).astype(np.int32)
+    mask = (rng.random((3, 17)) > 0.2).astype(np.int32)
+    mask[:, 0] = 1
+    last, _ = BertModel(cfg).apply({"params": params},
+                                   jnp.asarray(ids), jnp.asarray(mask))
+    got = np.asarray(BertPooler(cfg).apply({"params": pooler_p}, last))
+    with torch.no_grad():
+        want = hf(input_ids=torch.from_numpy(ids).long(),
+                  attention_mask=torch.from_numpy(mask).long()).pooler_output
+    np.testing.assert_allclose(got, want.numpy(), atol=2e-5)
+    # checkpoints without the head (aspire encoders) -> None
+    hf2 = transformers.BertModel(hf_cfg, add_pooling_layer=False)
+    assert pooler_params_from_hf_state_dict(hf2.state_dict()) is None

@@ -139,3 +139,44 @@ def test_jointsm_eval_agg(tiny_model, rng):
              for _ in range(4)]
     sims = m.get_similarities(q, cands)
     assert sims.shape == (4,) and np.isfinite(sims).all()
+
+
+def test_simcse_eval_model(tmp_path, rng):
+    """supsimcse/unsupsimcse eval path (reference utils/models.py:322-357):
+    EACH abstract sentence is encoded to its POOLER output (tanh(dense(CLS)),
+    not plain CLS), reps split per abstract, max-cosine ranking -- oracle:
+    torch pooler_output on identical token ids."""
+    import torch
+    import transformers
+    from aspire_tpu.evaluation.models import get_model
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "title",
+             "alpha", "beta", "gamma", "delta"]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    hf_tok = transformers.BertTokenizer(str(tmp_path / "vocab.txt"))
+    hf_cfg = transformers.BertConfig(
+        vocab_size=len(vocab), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, type_vocab_size=2)
+    torch.manual_seed(7)
+    hf = transformers.BertModel(hf_cfg, add_pooling_layer=True).eval()
+    mdir = tmp_path / "simcse"
+    hf.save_pretrained(mdir)
+    hf_tok.save_pretrained(mdir)
+
+    m = get_model("supsimcse", weights_dir=str(mdir))
+    papers = [{"TITLE": "t", "ABSTRACT": ["alpha beta gamma", "delta alpha"]},
+              {"TITLE": "t", "ABSTRACT": ["beta beta"]}]
+    encs = m.encode(papers)
+    # per-abstract SENTENCE-set reps (2 sents, 1 sent), pooler width
+    assert encs[0].shape == (2, 32) and encs[1].shape == (1, 32)
+    sents = ["alpha beta gamma", "delta alpha", "beta beta"]
+    enc = hf_tok(sents, return_tensors="pt", padding=True)
+    with torch.no_grad():
+        want = hf(**enc).pooler_output.numpy()
+    got = np.concatenate(encs)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5)
+    # NOT the CLS rep (the round-4 deviation this closes)
+    with torch.no_grad():
+        cls = hf(**enc).last_hidden_state[:, 0, :].numpy()
+    assert not np.allclose(got, cls, atol=1e-3)
+    assert m.get_similarity(encs[0], encs[0]) == pytest.approx(1.0, abs=1e-5)
