@@ -86,12 +86,15 @@ def cmd_train(args):
                              "--hidden-dropout-impl fused and --fast-rng")
         args.attention_impl = args.attention_impl or "naive"
         args.hidden_dropout_impl = args.hidden_dropout_impl or "naive"
+        args.ffn_impl = args.ffn_impl or "naive"
     if args.attention_impl:
         cfg.model = dataclasses.replace(cfg.model,
                                         attention_impl=args.attention_impl)
     if args.hidden_dropout_impl:
         cfg.model = dataclasses.replace(
             cfg.model, hidden_dropout_impl=args.hidden_dropout_impl)
+    if args.ffn_impl:
+        cfg.model = dataclasses.replace(cfg.model, ffn_impl=args.ffn_impl)
     model = build_model(cfg.model, bert_config, dtype=compute_dtype)
     mesh = make_mesh(n_data=args.num_devices)
     trainer = Trainer(model, cfg, args.out, mesh=mesh,
@@ -804,13 +807,22 @@ def build_parser():
                         "no [b,t,h] mask bits are generated, stored for the "
                         "backward, or moved through HBM (same stream trade "
                         "as attention; see --bit-reproducible)")
+    t.add_argument("--ffn-impl", default=None,
+                   choices=["auto", "naive", "fused"],
+                   help="FFN backend; the default 'auto' runs no-grad "
+                        "TPU forwards through the fused pallas "
+                        "dense-gelu-dense kernel ([tokens,4h] intermediate "
+                        "VMEM-resident, 1.45x; ops/pallas_ffn.py) while "
+                        "grad passes stay on XLA's measured-at-floor path; "
+                        "'naive' restores nn.Dense everywhere (exact "
+                        "--bit-reproducible numerics; no RNG involved)")
     t.add_argument("--bit-reproducible", action="store_true",
                    help="reproduce the documented threefry dropout bit "
                         "streams exactly: forces naive (nn.Dropout) "
                         "attention-prob and hidden dropout and naive "
-                        "attention numerics.  ~1.3x slower at the reference "
-                        "config (266 vs 207 ms/step, RESULTS_r4); same "
-                        "keep-probability either way")
+                        "attention/FFN numerics.  ~1.3x slower at the "
+                        "reference config (266 vs 207 ms/step, RESULTS_r4); "
+                        "same keep-probability either way")
     t.add_argument("--seq-buckets",
                    help="comma-separated length buckets, e.g. 192,320,512")
     t.add_argument("--shuffle-seed", type=int, default=None,

@@ -48,6 +48,11 @@ class ModelHParams:
     # 'auto'/'naive' (nn.Dropout with the step keys), 'fused'
     # (ops/pallas_dropout.py hardware-PRNG kernel, no mask HBM traffic).
     hidden_dropout_impl: str = "auto"
+    # FFN backend (models/bert.py _select_ffn): 'auto' (no-grad TPU
+    # forwards run the fused pallas kernel, [tokens, 4h] intermediate
+    # VMEM-resident, 1.45x; grad passes stay XLA, measured at its floor),
+    # 'fused', 'naive' (nn.Dense everywhere; --bit-reproducible numerics).
+    ffn_impl: str = "auto"
 
     @property
     def consent(self) -> bool:

@@ -166,6 +166,42 @@ def _select_impl(attention_impl: str, deterministic: bool,
     return "naive"
 
 
+def _select_ffn(ffn_impl: str, on_tpu: bool = True) -> str:
+    """FFN backend policy: 'auto' routes TPU passes through
+    ops/pallas_ffn.fused_ffn, whose custom_vjp applies the MEASURED split
+    (benchmarks/ffn_bench.py, RESULTS_r5): no-grad forwards run the pallas
+    kernel with the [tokens, 4h] intermediate VMEM-resident (1.45x naive),
+    while under grad both directions run plain XLA, which is at its MXU
+    floor (two kernel-backward variants measured slower).  'fused' forces
+    the same path off-TPU (interpret mode -- CI parity); 'naive' forces the
+    nn.Dense composition everywhere (--bit-reproducible numerics).  The
+    kernel has no RNG; this is a numerics-only knob (f32 pre-activation +
+    polynomial exact-gelu, |erf err| <= 1.5e-7)."""
+    if ffn_impl == "fused":
+        return "fused"
+    if ffn_impl == "auto" and on_tpu:
+        return "fused"
+    return "naive"
+
+
+class _DenseParams(nn.Module):
+    """Declares kernel/bias identically to nn.Dense (same names, shapes,
+    f32 param_dtype, lecun-normal/zeros init, same RNG path) WITHOUT the
+    matmul -- the fused-FFN path consumes the raw params, and checkpoints
+    stay interchangeable with the naive nn.Dense tree."""
+
+    fan_in: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.linear.default_kernel_init,
+                       (self.fan_in, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
+
+
 class BertSelfAttention(nn.Module):
     """Self-attention with two backends:
 
@@ -264,6 +300,7 @@ class BertLayer(nn.Module):
     attention_impl: str = "auto"
     hidden_dropout_impl: str = "auto"
     layer_idx: int = 0
+    ffn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, attn_bias, attention_mask, deterministic=True):
@@ -279,11 +316,23 @@ class BertLayer(nn.Module):
                                    site=1 + 2 * self.layer_idx)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="attention_output_LayerNorm")(x + attn_out).astype(self.dtype)
-        inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
-                         param_dtype=jnp.float32, name="intermediate_dense")(x)
-        inter = nn.gelu(inter, approximate=False)
-        out = nn.Dense(cfg.hidden_size, dtype=self.dtype,
-                       param_dtype=jnp.float32, name="output_dense")(inter)
+        on_tpu = jax.default_backend() == "tpu"
+        if _select_ffn(self.ffn_impl, on_tpu) == "fused":
+            from ..ops.pallas_ffn import fused_ffn
+            w1, b1 = _DenseParams(cfg.hidden_size, cfg.intermediate_size,
+                                  name="intermediate_dense")()
+            w2, b2 = _DenseParams(cfg.intermediate_size, cfg.hidden_size,
+                                  name="output_dense")()
+            out = fused_ffn(x, w1.astype(self.dtype), b1.astype(self.dtype),
+                            w2.astype(self.dtype), b2.astype(self.dtype),
+                            interpret=not on_tpu)
+        else:
+            inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
+                             param_dtype=jnp.float32,
+                             name="intermediate_dense")(x)
+            inter = nn.gelu(inter, approximate=False)
+            out = nn.Dense(cfg.hidden_size, dtype=self.dtype,
+                           param_dtype=jnp.float32, name="output_dense")(inter)
         out = _hidden_dropout(self, out, cfg.hidden_dropout_prob,
                               deterministic, self.hidden_dropout_impl,
                               site=2 + 2 * self.layer_idx)
@@ -303,6 +352,7 @@ class BertModel(nn.Module):
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
     hidden_dropout_impl: str = "auto"
+    ffn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None,
@@ -319,6 +369,7 @@ class BertModel(nn.Module):
         for i in range(cfg.num_hidden_layers):
             x = BertLayer(cfg, self.dtype, self.attention_impl,
                           self.hidden_dropout_impl, layer_idx=i,
+                          ffn_impl=self.ffn_impl,
                           name=f"layer_{i}")(
                 x, attn_bias, attention_mask, deterministic)
             hidden_states.append(x.astype(jnp.float32))

@@ -73,7 +73,8 @@ class ConSentDocModel:
         self.encoder = ConSentEncoder(bert_config, max_sents=hp.max_sents,
                                       dtype=dtype,
                                       attention_impl=hp.attention_impl,
-                                      hidden_dropout_impl=hp.hidden_dropout_impl)
+                                      hidden_dropout_impl=hp.hidden_dropout_impl,
+                                      ffn_impl=hp.ffn_impl)
         # get_dist_function aliases l2lse -> l2max itself (the reference's
         # caching_score does the same remap, disent_models.py:294-297)
         self.dist_fn = get_dist_function(hp.score_aggregation, hp)
@@ -296,7 +297,8 @@ class SpecterDocModel:
         self.bert_config = bert_config
         self.encoder = BiEncoder(bert_config, dtype=dtype,
                                  attention_impl=hp.attention_impl,
-                                 hidden_dropout_impl=hp.hidden_dropout_impl)
+                                 hidden_dropout_impl=hp.hidden_dropout_impl,
+                                 ffn_impl=hp.ffn_impl)
 
     def init_params(self, rng: jax.Array, seq_len: int = 64) -> dict:
         fb = {

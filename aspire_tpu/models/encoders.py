@@ -53,12 +53,14 @@ class ConSentEncoder(nn.Module):
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
     hidden_dropout_impl: str = "auto"
+    ffn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, token_ids, attn_mask, sent_ids, token_type_ids=None,
                  deterministic: bool = True):
         last, _ = BertModel(self.config, self.dtype, self.attention_impl,
-                            self.hidden_dropout_impl, name="bert")(
+                            self.hidden_dropout_impl,
+                            ffn_impl=self.ffn_impl, name="bert")(
             token_ids, attn_mask, token_type_ids, deterministic)
         doc_cls = last[:, 0, :]
         sent_reps = sentence_pool(last, sent_ids, self.max_sents)
@@ -97,12 +99,14 @@ class ConSentSpanEncoder(nn.Module):
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
     hidden_dropout_impl: str = "auto"
+    ffn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, token_ids, attn_mask, sent_ids, span_mask,
                  token_type_ids=None, deterministic: bool = True):
         last, _ = BertModel(self.config, self.dtype, self.attention_impl,
-                            self.hidden_dropout_impl, name="bert")(
+                            self.hidden_dropout_impl,
+                            ffn_impl=self.ffn_impl, name="bert")(
             token_ids, attn_mask, token_type_ids, deterministic)
         doc_cls = last[:, 0, :]
         sent_reps = sentence_pool(last, sent_ids, self.max_sents)
@@ -121,13 +125,15 @@ class BiEncoder(nn.Module):
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
     hidden_dropout_impl: str = "auto"
+    ffn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, token_ids, attn_mask, token_type_ids=None,
                  deterministic: bool = True):
         _, hidden_states = BertModel(self.config, self.dtype,
                                      self.attention_impl,
-                                     self.hidden_dropout_impl, name="bert")(
+                                     self.hidden_dropout_impl,
+                                     ffn_impl=self.ffn_impl, name="bert")(
             token_ids, attn_mask, token_type_ids, deterministic)
         n_layers = len(hidden_states)
         w = self.param("layer_weights", nn.initializers.zeros, (n_layers,), jnp.float32)

@@ -30,7 +30,8 @@ class SentTripleModel:
         self.bert_config = bert_config
         self.encoder = BertModel(bert_config, dtype=dtype,
                                  attention_impl=hp.attention_impl,
-                                 hidden_dropout_impl=hp.hidden_dropout_impl)
+                                 hidden_dropout_impl=hp.hidden_dropout_impl,
+                                 ffn_impl=hp.ffn_impl)
 
     def init_params(self, rng: jax.Array, seq_len: int = 64) -> dict:
         ids = jnp.zeros((1, seq_len), jnp.int32)

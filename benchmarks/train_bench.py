@@ -85,6 +85,11 @@ def main():
                     help="hidden/embedding dropout backend; 'fused' = "
                          "pallas hardware-PRNG kernel, no mask HBM traffic "
                          "(ops/pallas_dropout.py)")
+    ap.add_argument("--ffn", default="auto",
+                    choices=["auto", "naive", "fused"],
+                    help="FFN backend; 'auto'/'fused' = pallas fused "
+                         "forward, [tokens,4h] intermediate VMEM-resident "
+                         "(ops/pallas_ffn.py)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu for smoke tests; "
                          "the JAX_PLATFORMS env var alone does not switch "
@@ -108,7 +113,7 @@ def main():
                       sent_sm_temp=5000.0, sent_loss_prop=1.0,
                       sentsup_loss_prop=1.0, max_seq_len=args.seq,
                       max_sents=args.max_sents, attention_impl=args.attn,
-                      hidden_dropout_impl=args.hdrop)
+                      hidden_dropout_impl=args.hdrop, ffn_impl=args.ffn)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     model = build_model(hp, cfg, dtype=dtype)
 
@@ -166,17 +171,29 @@ def main():
     loss = float(jax.device_get(out[2]))
     dt = max(time.perf_counter() - t0 - rtt, 1e-9) / args.steps
     triples = args.accum / dt
+    # MFU: analytic encoder matmul FLOPs (query+pos encodes, fwd+bwd at 3x
+    # fwd) against the v5e bf16 nominal peak -- the auditable %-of-peak
+    # behind every "FLOP bound" claim (VERDICT r4 #7).  Loss tail + adam
+    # excluded: MFU is conservative (true utilization is higher).
+    n_seqs = 2 * args.accum
+    tokens = n_seqs * args.seq
+    h, L = cfg.hidden_size, cfg.num_hidden_layers
+    enc_flops = 3 * (24 * h * h + 4 * args.seq * h) * tokens * L
+    V5E_PEAK_BF16 = 197e12
+    tflops = enc_flops / dt / 1e12
     print(json.dumps({
         "metric": "train_triples_per_sec_per_chip",
         "model": "sbalisentbienc(ts+ot)",
         "mode": args.mode + ("+nodrop" if args.no_dropout else "")
                 + ("+nohidden" if args.no_hidden_dropout else "")
                 + ("+hdrop-" + args.hdrop if args.hdrop != "auto" else ""),
-        "rng": args.rng, "attn": args.attn,
+        "rng": args.rng, "attn": args.attn, "ffn": args.ffn,
         "dtype": args.dtype, "seq_len": args.seq, "micro": args.micro,
         "accum": args.accum, "step_ms": round(dt * 1e3, 2),
         "value": round(triples, 2), "unit": "triples/s",
         "epoch_1.28M_triples_hours": round(1_276_820 / triples / 3600, 2),
+        "encoder_tflops_per_s": round(tflops, 1),
+        "mfu_pct_v5e_bf16_peak": round(100 * tflops * 1e12 / V5E_PEAK_BF16, 1),
         "final_loss": round(loss, 3),
     }))
 

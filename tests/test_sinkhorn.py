@@ -223,7 +223,11 @@ def _plan_from_potentials(a, x, b, y, f, g, blur):
     bg = b.astype(np.float64)
     logpi = ((f.astype(np.float64)[:, None] + g.astype(np.float64)[None, :]
               - C) / blur)
-    pi = af[:, None] * bg[None, :] * np.exp(logpi)
+    with np.errstate(over="ignore"):
+        pi = af[:, None] * bg[None, :] * np.exp(logpi)
+    # an overflowing plan entry means the potentials are nowhere near
+    # feasible -- surface it as a hard failure, not a warning
+    assert np.isfinite(pi).all(), "plan reconstruction overflowed"
     return pi, C
 
 
@@ -237,10 +241,12 @@ def _duality_gap_check(a, x, b, y, f, g, blur):
     the potentials are a genuine near-optimal primal-dual pair -- not just
     internally consistent numbers (VERDICT r4 #6; geomloss semantics
     pair_distances.py:61-92)."""
+    # slice to mass-carrying atoms BEFORE reconstruction: pad atoms carry
+    # floor potentials (log-weight -1e5) whose exp overflows, and 0 * inf
+    # would poison the whole plan
     live_a, live_b = a > 0, b > 0
-    pi, C = _plan_from_potentials(a, x, b, y, f, g, blur)
-    pi = pi[np.ix_(live_a, live_b)]
-    C = C[np.ix_(live_a, live_b)]
+    pi, C = _plan_from_potentials(a[live_a], x[live_a], b[live_b], y[live_b],
+                                  f[live_a], g[live_b], blur)
     aa, bb = a[live_a].astype(np.float64), b[live_b].astype(np.float64)
     row, col = pi.sum(1), pi.sum(0)
     viol = max(np.abs(row - aa).sum(), np.abs(col - bb).sum())
@@ -250,7 +256,7 @@ def _duality_gap_check(a, x, b, y, f, g, blur):
     primal = (pi * C).sum() + blur * kl
     dual = (aa * f[live_a]).sum() + (bb * g[live_b]).sum() \
         - blur * (pi.sum() - 1.0)
-    return viol, abs(primal - dual), primal, dual
+    return float(viol), float(abs(primal - dual)), float(primal), float(dual)
 
 
 def test_duality_gap_property_battery(rng):
@@ -284,10 +290,14 @@ def test_duality_gap_property_battery(rng):
             Bw[i, :m] = rng.random(m) + 0.05
             A[i] /= A[i].sum()
             Bw[i] /= Bw[i].sum()
+        # max_iters must cover the schedule length: at scaling=0.95 with
+        # diameters up to ~150 the geometric schedule needs ~143 entries,
+        # and a truncated schedule hands the extrapolation badly
+        # unconverged potentials (violations blow past any bound)
         f, g = sinkhorn_potentials(jnp.asarray(A), jnp.asarray(X),
                                    jnp.asarray(Bw), jnp.asarray(Y),
                                    blur=blur, scaling=scaling,
-                                   diameter="pair")
+                                   diameter="pair", max_iters=512)
         f, g = np.asarray(f), np.asarray(g)
         assert np.isfinite(f).all() and np.isfinite(g).all()
         for i in range(B):
