@@ -215,14 +215,14 @@ class BertSelfAttention(nn.Module):
       dropout bits from the TPU hardware PRNG, so neither probs nor masks
       touch HBM (the dominant dropout cost; see _select_impl).  Same
       P(keep) = 1-p semantics, different bit stream: deterministic per
-      seed, not bit-reproducible against a 'naive' run (the `--fast-rng`
-      trade).  Deterministic passes fall back to naive.
+      seed, not bit-reproducible against a 'naive' run
+      (`--bit-reproducible` restores naive).
     * 'fused_det': the same kernel built at p=0 (dropout machinery compiled
       out) -- plain fused attention, VMEM-resident, no PRNG.  What 'auto'
       and 'fused' run for deterministic passes on TPU.
-    * 'auto' (default): 'fused_det' for deterministic passes on TPU, naive
-      otherwise -- exact-dropout training semantics by default, fused
-      inference (see _select_impl for the measurements).
+    * 'auto' (default): on TPU, 'fused' for dropout-training passes and
+      'fused_det' for deterministic ones -- the measured-best path with no
+      flags; naive off-TPU (see _select_impl for the measurements).
     """
 
     config: BertConfig

@@ -33,7 +33,12 @@ def main():
     ap.add_argument("--int8-only", action="store_true",
                     help="skip the bf16 index (capacity runs, e.g. "
                          "--docs 400000: both indexes would not fit HBM)")
+    ap.add_argument("--fine-buckets", action="store_true",
+                    help="(8,12,16,20,24) instead of (12,24): ~30%% less "
+                         "bucket padding -- needed to fit a TRUE 1M-doc "
+                         "int8 index (+scales/norms) in one chip's 16 GB")
     args = ap.parse_args()
+    buckets = (8, 12, 16, 20, 24) if args.fine_buckets else (12, 24)
 
     d = 768
     rng = np.random.default_rng(0)
@@ -52,7 +57,7 @@ def main():
     if not args.int8_only:
         # coarse buckets trade ~25% padding for wide MXU blocks (~580 GB/s)
         idx = build_dense_index(doc_reps, [f"p{i}" for i in range(args.docs)],
-                                buckets=(12, 24))
+                                buckets=buckets)
         dev = idx.device_arrays()
         flat = flatten_device_buckets(dev)
         search = make_dense_search(len(dev), k=args.k)
@@ -101,7 +106,8 @@ def main():
         # contained in the int8 top-64 -- RESULTS_r2.md) + exact OT rerank
         del dev, flat, search
     idx8 = build_dense_index(doc_reps, [f"p{i}" for i in range(args.docs)],
-                             buckets=(12, 24), dtype="int8")
+                             buckets=buckets, dtype="int8")
+    del doc_reps
     dev8 = idx8.device_arrays()
     flat8 = flatten_device_buckets(dev8)
     search8 = make_dense_search(len(dev8), k=64, int8=True)
@@ -214,9 +220,14 @@ def main():
                       "batch_ms": round(dt_b * 1000, 3),
                       "speedup_vs_single": round(dt8 / (dt_b / B), 2)}))
 
-    # fused batched serving: B=32 full query paths in one dispatch
+    # fused batched serving: B=32 full query paths in one dispatch.
+    # q_chunk 4 at the 1M capacity config: the fused program materializes a
+    # [bucket_docs, sents, q_chunk, 16] f32 score block plus a layout copy
+    # of the largest int8 bucket; at q_chunk=8 that is 2.4G + 4.8G and the
+    # total program overshoots the 16G HBM by 33M (measured OOM report).
+    fq_chunk = 4 if args.fine_buckets else 8
     fqb = make_fused_query_batched(len(dev8), k=64, max_sents=20, int8=True,
-                                   q_chunk=8, temp=5000.0, scaling=0.9,
+                                   q_chunk=fq_chunk, temp=5000.0, scaling=0.9,
                                    max_iters=128, solver="pallas")
 
     def one_fused_b(acc, qb, *rest):
@@ -225,7 +236,7 @@ def main():
 
     dt_fb = timed_loop(one_fused_b, 10, qb, *flat8, *pos8)
     print(json.dumps({"metric": "fused_query_path_ms_int8_batch32",
-                      "docs": args.docs, "k": 64, "q_chunk": 8,
+                      "docs": args.docs, "k": 64, "q_chunk": fq_chunk,
                       "value": round(dt_fb * 1000 / B, 3), "unit": "ms",
                       "batch_ms": round(dt_fb * 1000, 3),
                       "vs_target_5ms": round(dt_fb * 1000 / B / 5.0, 3)}))
