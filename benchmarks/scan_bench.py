@@ -1,0 +1,139 @@
+"""int8 batched first-stage scan: XLA path vs the pallas kernel, on chip.
+
+Measures the case motivating ops/pallas_scan.fused_l2max_scan_int8_batched
+(see the section comment there): at the 1M-doc capacity config the XLA
+batched int8 scan pays a [n, s, q, qmax] f32 HBM round trip that the
+dequant multiply keeps XLA from fusing away; the kernel reduces in VMEM.
+
+The index is SYNTHESIZED ON DEVICE (jax.random int8 + scales/norms), so the
+bench starts in seconds instead of the ~25 min host build serve_bench pays.
+Bucket mix approximates the fine-bucket histogram of Poisson(9) lengths at
+--docs total docs.  Bucket arrays are threaded as explicit jit arguments
+(closure-captured device arrays inline into the HLO as constants).
+
+Run: python benchmarks/scan_bench.py [--docs 1000000] [--batch 32]
+"""
+import argparse
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+
+from aspire_tpu.index.dense import (score_buckets_batched, _topk_padded,
+                                    _unflatten_buckets,
+                                    flatten_device_buckets)
+from aspire_tpu.ops.pallas_scan import fused_l2max_scan_int8_batched
+from timing import timed_loop
+
+# (sent_count, fraction of docs) ~ Poisson(9) clipped to [3, 20] under the
+# fine (8,12,16,20,24) bucket boundaries
+MIX = ((8, 0.44), (12, 0.40), (16, 0.13), (20, 0.03))
+
+
+def synth_bucket(key, n, s, d):
+    k1, k2 = jax.random.split(key)
+    sents = jax.random.randint(k1, (n, s, d), -127, 128, jnp.int8)
+    scales = jnp.abs(jax.random.normal(k2, (n, s), jnp.float32)) * 0.02 + 1e-3
+    # norms consistent with the stored values (exactness is irrelevant for
+    # bandwidth, but keep the arithmetic shape honest)
+    norms = jnp.sum(jnp.square(sents.astype(jnp.float32)), axis=2) * scales**2
+    return {"sents": sents, "norms": norms, "scales": scales,
+            "doc_idx": jnp.arange(n, dtype=jnp.int32)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1000000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--qmax", type=int, default=16)
+    ap.add_argument("--k", type=int, default=64)
+    ap.add_argument("--q-chunk", type=int, default=8)
+    args = ap.parse_args()
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    from aspire_tpu.train.trainer import enable_compilation_cache
+    enable_compilation_cache()
+
+    d = 768
+    key = jax.random.key(0)
+    buckets = []
+    gb = 0.0
+    for i, (s, frac) in enumerate(MIX):
+        n = max(8, int(args.docs * frac) // 8 * 8)
+        b = synth_bucket(jax.random.fold_in(key, i), n, s, d)
+        buckets.append(b)
+        gb += sum(np.prod(v.shape) * v.dtype.itemsize
+                  for v in b.values()) / 1e9
+    nb = len(buckets)
+    flat = flatten_device_buckets(buckets)  # sents, norms, doc_idx, scales
+    print(f"synth index: {sum(b['sents'].shape[0] for b in buckets)} docs, "
+          f"{gb:.2f} GB on device", flush=True)
+
+    B, qmax, k = args.batch, args.qmax, args.k
+    q = jax.random.normal(jax.random.key(99), (B, qmax, d), jnp.float32)
+    q_lens = jnp.full((B,), 10, jnp.int32)
+
+    # ---- XLA path (production score_buckets_batched) ----
+    def xla_scan(acc, q, q_lens, *flat):
+        bs = _unflatten_buckets(flat, nb, int8=True)
+        v, i = score_buckets_batched(bs, q + acc * 0.0, q_lens,
+                                     k=k, q_chunk=args.q_chunk)
+        return v[0, 0]
+
+    dt_x = timed_loop(xla_scan, 6, q, q_lens, *flat)
+    print(json.dumps({"metric": "xla_batched_scan_ms", "docs": args.docs,
+                      "B": B, "q_chunk": args.q_chunk,
+                      "value": round(dt_x * 1000, 3),
+                      "per_query_ms": round(dt_x * 1000 / B, 3),
+                      "effective_gbps": round(gb / dt_x, 1)}), flush=True)
+
+    # ---- pallas kernel + per-bucket top-k merge ----
+    def pallas_scan(acc, q, q_lens, *flat):
+        bs = _unflatten_buckets(flat, nb, int8=True)
+        vs, ds = [], []
+        for b in bs:
+            out = fused_l2max_scan_int8_batched(
+                b["sents"], b["scales"], b["norms"], q + acc * 0.0, q_lens,
+                qmax=qmax)                               # [N, B]
+            sc = jnp.where(b["doc_idx"][:, None] >= 0, out, -1e30).T
+            v, i = jax.lax.top_k(sc, k)                  # [B, k]
+            vs.append(v)
+            ds.append(jnp.take(b["doc_idx"], i))
+        v, dd = _topk_padded(jnp.concatenate(vs, axis=1),
+                             jnp.concatenate(ds, axis=1), k)
+        return v[0, 0]
+
+    dt_p = timed_loop(pallas_scan, 6, q, q_lens, *flat)
+    print(json.dumps({"metric": "pallas_batched_scan_ms", "docs": args.docs,
+                      "B": B, "value": round(dt_p * 1000, 3),
+                      "per_query_ms": round(dt_p * 1000 / B, 3),
+                      "effective_gbps": round(gb / dt_p, 1),
+                      "speedup_vs_xla": round(dt_x / dt_p, 2)}), flush=True)
+
+    # parity spot check: same top-16 ids on bucket 0, kernel vs XLA
+    def xla_b0(q, q_lens, *fl):
+        return score_buckets_batched(_unflatten_buckets(fl, 1, True),
+                                     q, q_lens, k=16)
+
+    v_x, d_x = jax.jit(xla_b0)(q, q_lens, *flat[:4])
+
+    def pl_b0(q, q_lens, sents, norms, doc_idx, scales):
+        out = fused_l2max_scan_int8_batched(sents, scales, norms, q, q_lens,
+                                            qmax=qmax)
+        sc = jnp.where(doc_idx[:, None] >= 0, out, -1e30).T
+        return jax.lax.top_k(sc, 16)
+
+    v_p, i_p = jax.jit(pl_b0)(q, q_lens, *flat[:4])
+    match = float((np.asarray(i_p) == np.asarray(d_x)).mean())
+    print(json.dumps({"metric": "pallas_scan_topk_id_match",
+                      "value": round(match, 4)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

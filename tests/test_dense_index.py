@@ -350,3 +350,23 @@ def test_cosine_index_matches_cosine_oracle(rng, tmp_path):
     np.testing.assert_array_equal(docs, order[:10])
     cos = 1.0 - v * v / 2.0            # the rank CLI's conversion
     np.testing.assert_allclose(cos, want[order[:10]], rtol=1e-5, atol=1e-5)
+
+
+def test_fine_buckets_match_coarse_exact(rng):
+    """The 1M-doc capacity packing ((8,12,16,20,24) int8, RESULTS_r5.md)
+    returns bit-identical rankings/scores to the coarse (12,24) config:
+    bucket boundaries change padding only, never stored values or scores."""
+    reps, pids = make_corpus(rng, n_docs=120, d=16, max_s=24)
+    q = rng.normal(size=(5, 16)).astype(np.float32)
+    qpad = np.zeros((8, 16), np.float32)
+    qpad[:5] = q
+    outs = []
+    for buckets in ((12, 24), (8, 12, 16, 20, 24)):
+        idx = build_dense_index(reps, pids, buckets=buckets, dtype="int8")
+        dev = idx.device_arrays()
+        search = make_dense_search(len(dev), k=10, int8=True)
+        v, d = search(jnp.asarray(qpad), jnp.int32(5),
+                      *flatten_device_buckets(dev))
+        outs.append((np.asarray(v), np.asarray(d)))
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=2e-6, atol=2e-6)

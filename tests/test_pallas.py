@@ -122,3 +122,46 @@ def test_fused_l2max_scan_matches_brute(rng):
     # the same sentinel dense-index dummy docs carry
     want = np.maximum(scores.reshape(n, -1).max(axis=1), -1e30)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_int8_batched_scan_kernel_matches_xla_path(rng):
+    """fused_l2max_scan_int8_batched == score_buckets_batched per-doc scores
+    and top-k ids on an int8 bucket (both paths: int8->bf16 dequant matmul,
+    f32 accumulation -- only reduction order differs)."""
+    from aspire_tpu.index.dense import (build_dense_index,
+                                        score_buckets_batched)
+    from aspire_tpu.ops.pallas_scan import fused_l2max_scan_int8_batched
+
+    d, n_docs, B, qmax = 128, 57, 4, 6
+    reps = [rng.normal(size=(int(rng.integers(1, 9)), d)).astype(np.float32)
+            for _ in range(n_docs)]
+    idx = build_dense_index(reps, [f"p{i}" for i in range(n_docs)],
+                            buckets=(8,), dtype="int8")
+    b0 = idx.buckets[0]
+    q = rng.normal(size=(B, qmax, d)).astype(np.float32)
+    q_lens = np.array([6, 3, 1, 5], np.int32)
+
+    out = fused_l2max_scan_int8_batched(
+        jnp.asarray(b0["sents"]), jnp.asarray(b0["scales"]),
+        jnp.asarray(b0["norms"]), jnp.asarray(q), jnp.asarray(q_lens),
+        qmax=qmax, interpret=True)                       # [N, B]
+    out = np.asarray(out)
+
+    dev = idx.device_arrays()
+    v_want, d_want = score_buckets_batched(dev, jnp.asarray(q),
+                                           jnp.asarray(q_lens), k=10)
+    # kernel emits ALL per-doc scores; reduce to top-k for comparison
+    doc_idx = np.asarray(b0["doc_idx"])
+    scores_bq = out.T.copy()                             # [B, N]
+    scores_bq[:, doc_idx < 0] = -1e30
+    order = np.argsort(-scores_bq, axis=1)[:, :10]
+    np.testing.assert_array_equal(doc_idx[order], np.asarray(d_want))
+    np.testing.assert_allclose(np.take_along_axis(scores_bq, order, axis=1),
+                               np.asarray(v_want), rtol=2e-4, atol=2e-4)
+
+
+def test_int8_batched_scan_kernel_block_helper():
+    from aspire_tpu.ops.pallas_scan import _block_docs_int8
+    for n, s in ((64, 8), (120, 12), (4096, 24), (40, 20), (8, 16)):
+        bd = _block_docs_int8(n, s)
+        assert n % bd == 0 and (bd * s) % 32 == 0, (n, s, bd)
