@@ -30,7 +30,7 @@ from aspire_tpu.index.dense import (score_buckets_batched, _topk_padded,
                                     _unflatten_buckets,
                                     flatten_device_buckets)
 from aspire_tpu.ops.pallas_scan import fused_l2max_scan_int8_batched
-from timing import timed_loop
+from timing import commit_program_layouts, timed_loop
 
 # (sent_count, fraction of docs) ~ Poisson(9) clipped to [3, 20] under the
 # fine (8,12,16,20,24) bucket boundaries
@@ -55,6 +55,11 @@ def main():
     ap.add_argument("--qmax", type=int, default=16)
     ap.add_argument("--k", type=int, default=64)
     ap.add_argument("--q-chunk", type=int, default=8)
+    ap.add_argument("--skip-xla", action="store_true",
+                    help="pallas path only (the XLA batched program OOMs at "
+                         "the full 1M capacity: its compiled-in relayout "
+                         "copy of the largest bucket does not fit next to "
+                         "the 8.5 GB index)")
     args = ap.parse_args()
     assert jax.default_backend() == "tpu", jax.default_backend()
     from aspire_tpu.train.trainer import enable_compilation_cache
@@ -71,13 +76,32 @@ def main():
         gb += sum(np.prod(v.shape) * v.dtype.itemsize
                   for v in b.values()) / 1e9
     nb = len(buckets)
+    n_docs_total = sum(b["sents"].shape[0] for b in buckets)
     flat = flatten_device_buckets(buckets)  # sents, norms, doc_idx, scales
-    print(f"synth index: {sum(b['sents'].shape[0] for b in buckets)} docs, "
-          f"{gb:.2f} GB on device", flush=True)
+    del buckets  # flat holds the only refs: layout commits below must be
+    #              able to free the originals (HBM is the budget here)
+    print(f"synth index: {n_docs_total} docs, {gb:.2f} GB on device",
+          flush=True)
 
     B, qmax, k = args.batch, args.qmax, args.k
     q = jax.random.normal(jax.random.key(99), (B, qmax, d), jnp.float32)
     q_lens = jnp.full((B,), 10, jnp.int32)
+
+    def commit(fn, q, q_lens, flat):
+        """device_put index args into fn's preferred input layouts.
+
+        The synthesized index arrays are OUTPUTS of jitted jax.random
+        programs and can carry layouts the scan program does not want; XLA
+        then compiles a relayout copy of multi-GB args INTO the program,
+        which both distorts per-dispatch cost and OOMs at the 1M capacity.
+        Production serving commits the index once at load; the bench
+        measures that steady state."""
+        compiled = jax.jit(fn).lower(jnp.float32(0), q, q_lens,
+                                     *flat).compile()
+        committed, n = commit_program_layouts(
+            compiled, (jnp.float32(0), q, q_lens) + tuple(flat))
+        print(f"committed {n} args to program layouts", flush=True)
+        return committed[1], committed[2], list(committed[3:])
 
     # ---- XLA path (production score_buckets_batched) ----
     def xla_scan(acc, q, q_lens, *flat):
@@ -86,12 +110,15 @@ def main():
                                      k=k, q_chunk=args.q_chunk)
         return v[0, 0]
 
-    dt_x = timed_loop(xla_scan, 6, q, q_lens, *flat)
-    print(json.dumps({"metric": "xla_batched_scan_ms", "docs": args.docs,
-                      "B": B, "q_chunk": args.q_chunk,
-                      "value": round(dt_x * 1000, 3),
-                      "per_query_ms": round(dt_x * 1000 / B, 3),
-                      "effective_gbps": round(gb / dt_x, 1)}), flush=True)
+    dt_x = None
+    if not args.skip_xla:
+        q, q_lens, flat = commit(xla_scan, q, q_lens, flat)
+        dt_x = timed_loop(xla_scan, 6, q, q_lens, *flat)
+        print(json.dumps({"metric": "xla_batched_scan_ms", "docs": args.docs,
+                          "B": B, "q_chunk": args.q_chunk,
+                          "value": round(dt_x * 1000, 3),
+                          "per_query_ms": round(dt_x * 1000 / B, 3),
+                          "effective_gbps": round(gb / dt_x, 1)}), flush=True)
 
     # ---- pallas kernel + per-bucket top-k merge ----
     def pallas_scan(acc, q, q_lens, *flat):
@@ -109,17 +136,20 @@ def main():
                              jnp.concatenate(ds, axis=1), k)
         return v[0, 0]
 
+    q, q_lens, flat = commit(pallas_scan, q, q_lens, flat)
     dt_p = timed_loop(pallas_scan, 6, q, q_lens, *flat)
-    print(json.dumps({"metric": "pallas_batched_scan_ms", "docs": args.docs,
-                      "B": B, "value": round(dt_p * 1000, 3),
-                      "per_query_ms": round(dt_p * 1000 / B, 3),
-                      "effective_gbps": round(gb / dt_p, 1),
-                      "speedup_vs_xla": round(dt_x / dt_p, 2)}), flush=True)
+    rec = {"metric": "pallas_batched_scan_ms", "docs": args.docs,
+           "B": B, "value": round(dt_p * 1000, 3),
+           "per_query_ms": round(dt_p * 1000 / B, 3),
+           "effective_gbps": round(gb / dt_p, 1)}
+    if dt_x is not None:
+        rec["speedup_vs_xla"] = round(dt_x / dt_p, 2)
+    print(json.dumps(rec), flush=True)
 
     # parity spot check: same top-16 ids on bucket 0, kernel vs XLA
     def xla_b0(q, q_lens, *fl):
         return score_buckets_batched(_unflatten_buckets(fl, 1, True),
-                                     q, q_lens, k=16)
+                                     q, q_lens, k=16, q_chunk=args.q_chunk)
 
     v_x, d_x = jax.jit(xla_b0)(q, q_lens, *flat[:4])
 

@@ -35,8 +35,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "benchmarks"))
 
 from aspire_tpu.index.dense import (build_dense_index, flatten_device_buckets,
-                                    make_dense_search)
-from aspire_tpu.index.serve import make_fused_query
+                                    make_dense_search,
+                                    make_dense_search_batched)
+from aspire_tpu.index.serve import make_fused_query, make_fused_query_batched
 from timing import timed_loop, tunnel_rtt
 
 
@@ -93,10 +94,52 @@ def audit(name, f, args, loop_body, loop_iters=30, n_dispatch=20):
     return disp
 
 
+# fine-bucket sentence-count mix ~ Poisson(9) clipped (scan_bench.MIX)
+SYNTH_MIX = ((8, 0.44), (12, 0.40), (16, 0.13), (20, 0.03))
+
+
+def synth_device_index(docs: int, d: int = 768):
+    """Synthesize a 1M-capable int8 index ON DEVICE (seconds, not the ~25 min
+    host build): per-bucket int8 sents + scales + consistent norms, global
+    doc ids, and the doc->(bucket, row) inverse map the fused path needs.
+    Every doc in a bucket uses the full bucket length (layout/timing audit
+    only cares about shapes and bytes, not ragged realism)."""
+    key = jax.random.key(0)
+    dev, db_parts, dr_parts, dl_parts = [], [], [], []
+    off = 0
+    for i, (s, frac) in enumerate(SYNTH_MIX):
+        n = max(8, int(docs * frac) // 8 * 8)
+        k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+        sents = jax.random.randint(k1, (n, s, d), -127, 128, jnp.int8)
+        scales = jnp.abs(jax.random.normal(k2, (n, s), jnp.float32)) * 0.02 \
+            + 1e-3
+        norms = jnp.sum(jnp.square(sents.astype(jnp.float32)),
+                        axis=2) * scales ** 2
+        dev.append({"sents": sents, "norms": norms, "scales": scales,
+                    "doc_idx": jnp.arange(off, off + n, dtype=jnp.int32)})
+        db_parts.append(np.full((n,), i, np.int32))
+        dr_parts.append(np.arange(n, dtype=np.int32))
+        dl_parts.append(np.full((n,), s, np.int32))
+        off += n
+    pos = tuple(jnp.asarray(np.concatenate(p))
+                for p in (db_parts, dr_parts, dl_parts))
+    gb = sum(float(np.prod(v.shape)) * v.dtype.itemsize
+             for b in dev for v in b.values()) / 1e9
+    print(f"synth index: {off} docs, {gb:.2f} GB on device", flush=True)
+    return dev, pos
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=300000)
     ap.add_argument("--fine-buckets", action="store_true")
+    ap.add_argument("--synth", action="store_true",
+                    help="synthesize the index on device (enables --docs "
+                         "1000000 in seconds; implies fine buckets)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="also audit the batched search + fused programs "
+                         "at this query batch size")
+    ap.add_argument("--q-chunk", type=int, default=4)
     args_cli = ap.parse_args()
     assert jax.default_backend() == "tpu", jax.default_backend()
     from aspire_tpu.train.trainer import enable_compilation_cache
@@ -104,16 +147,22 @@ def main():
 
     d = 768
     rng = np.random.default_rng(0)
-    lens = np.clip(rng.poisson(9, args_cli.docs), 3, 20)
-    print(f"building {args_cli.docs}-doc int8 index...", flush=True)
-    doc_reps = [rng.standard_normal((l, d), dtype=np.float32) * 2 for l in lens]
-    buckets = (8, 12, 16, 20, 24) if args_cli.fine_buckets else (12, 24)
-    idx8 = build_dense_index(doc_reps, [f"p{i}" for i in range(args_cli.docs)],
-                             buckets=buckets, dtype="int8")
-    del doc_reps
-    dev8 = idx8.device_arrays()
-    flat8 = flatten_device_buckets(dev8)
-    pos8 = idx8.device_pos_arrays()
+    if args_cli.synth:
+        dev8, pos8 = synth_device_index(args_cli.docs, d)
+        flat8 = flatten_device_buckets(dev8)
+    else:
+        lens = np.clip(rng.poisson(9, args_cli.docs), 3, 20)
+        print(f"building {args_cli.docs}-doc int8 index...", flush=True)
+        doc_reps = [rng.standard_normal((l, d), dtype=np.float32) * 2
+                    for l in lens]
+        buckets = (8, 12, 16, 20, 24) if args_cli.fine_buckets else (12, 24)
+        idx8 = build_dense_index(doc_reps,
+                                 [f"p{i}" for i in range(args_cli.docs)],
+                                 buckets=buckets, dtype="int8")
+        del doc_reps
+        dev8 = idx8.device_arrays()
+        flat8 = flatten_device_buckets(dev8)
+        pos8 = idx8.device_pos_arrays()
     qpad = jnp.asarray(np.pad(rng.standard_normal((10, d)).astype(np.float32) * 2,
                               ((0, 6), (0, 0))))
 
@@ -135,6 +184,35 @@ def main():
 
     audit("fused_query_int8", fq, (qpad, jnp.int32(10), *flat8, *pos8),
           fused_body)
+
+    if args_cli.batch:
+        B = args_cli.batch
+        qb = jnp.asarray(
+            rng.standard_normal((B, 16, d)).astype(np.float32) * 2)
+        qlb = jnp.full((B,), 10, jnp.int32)
+
+        sb = make_dense_search_batched(len(dev8), k=64, int8=True,
+                                       q_chunk=min(8, B))
+
+        def search_b_body(acc, qb, qlb, *flat8):
+            v, i = sb(qb + acc * 0.0, qlb, *flat8)
+            return v[0, 0]
+
+        audit(f"search_int8_batched_B{B}", sb, (qb, qlb, *flat8),
+              search_b_body, loop_iters=10, n_dispatch=8)
+
+        fqb = make_fused_query_batched(
+            len(dev8), k=64, max_sents=20, int8=True,
+            q_chunk=min(args_cli.q_chunk, B), temp=5000.0, scaling=0.9,
+            max_iters=128, solver="pallas")
+
+        def fused_b_body(acc, qb, qlb, *rest):
+            v, dd, s = fqb(qb + acc * 0.0, qlb, *rest)
+            return s[0, 0]
+
+        audit(f"fused_query_int8_batched_B{B}", fqb,
+              (qb, qlb, *flat8, *pos8), fused_b_body,
+              loop_iters=10, n_dispatch=8)
 
 
 if __name__ == "__main__":
