@@ -30,22 +30,8 @@ from aspire_tpu.index.dense import (score_buckets_batched, _topk_padded,
                                     _unflatten_buckets,
                                     flatten_device_buckets)
 from aspire_tpu.ops.pallas_scan import fused_l2max_scan_int8_batched
+from synth_index import MIX, synth_bucket
 from timing import commit_program_layouts, timed_loop
-
-# (sent_count, fraction of docs) ~ Poisson(9) clipped to [3, 20] under the
-# fine (8,12,16,20,24) bucket boundaries
-MIX = ((8, 0.44), (12, 0.40), (16, 0.13), (20, 0.03))
-
-
-def synth_bucket(key, n, s, d):
-    k1, k2 = jax.random.split(key)
-    sents = jax.random.randint(k1, (n, s, d), -127, 128, jnp.int8)
-    scales = jnp.abs(jax.random.normal(k2, (n, s), jnp.float32)) * 0.02 + 1e-3
-    # norms consistent with the stored values (exactness is irrelevant for
-    # bandwidth, but keep the arithmetic shape honest)
-    norms = jnp.sum(jnp.square(sents.astype(jnp.float32)), axis=2) * scales**2
-    return {"sents": sents, "norms": norms, "scales": scales,
-            "doc_idx": jnp.arange(n, dtype=jnp.int32)}
 
 
 def main():

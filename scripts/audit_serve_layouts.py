@@ -48,12 +48,11 @@ def fmt(x):
         return "?"
 
 
-def per_dispatch_ms(f, n, *args):
+def per_dispatch_ms(f, n, *args, n_warm: int = 2):
     """True per-dispatch seconds: N pipelined dispatches, one fetch."""
-    out = f(*args)
-    jax.device_get(jax.tree.leaves(out)[0][..., :1])   # warm 1
-    out = f(*args)
-    jax.device_get(jax.tree.leaves(out)[0][..., :1])   # warm 2 (layout work)
+    for _ in range(n_warm):  # first 1-2 executions carry one-off
+        out = f(*args)       # layout/transfer work (CLAUDE.md)
+        jax.device_get(jax.tree.leaves(out)[0][..., :1])
     rtt = tunnel_rtt()
     t0 = time.perf_counter()
     for _ in range(n):
@@ -62,7 +61,13 @@ def per_dispatch_ms(f, n, *args):
     return max(time.perf_counter() - t0 - rtt, 1e-9) / n * 1000
 
 
+ONLY = None   # optional substring filter on program names (--only)
+N_WARM = 2    # warm executions before per-dispatch timing (--warm)
+
+
 def audit(name, f, args, loop_body, loop_iters=30, n_dispatch=20):
+    if ONLY is not None and ONLY not in name:
+        return None
     lowered = jax.jit(f).lower(*args) if not hasattr(f, "lower") else f.lower(*args)
     compiled = lowered.compile()
     try:
@@ -82,51 +87,19 @@ def audit(name, f, args, loop_body, loop_iters=30, n_dispatch=20):
                           f"array has {have.layout}  shape={a.shape} {a.dtype}")
     print(f"[{name}] mismatched args: {n_mismatch}", flush=True)
     inloop = timed_loop(loop_body, loop_iters, *args) * 1000
-    disp = per_dispatch_ms(f, n_dispatch, *args)
+    disp = per_dispatch_ms(f, n_dispatch, *args, n_warm=N_WARM)
     print(f"[{name}] in-jit amortized {inloop:.3f} ms vs per-dispatch "
           f"{disp:.3f} ms (ratio {disp / inloop:.2f}x)", flush=True)
     if n_mismatch and want is not None:
         fixed = [jax.device_put(a, w) if hasattr(a, "format") and w is not None
                  else a for a, w in zip(args, want)]
-        disp2 = per_dispatch_ms(f, n_dispatch, *fixed)
+        disp2 = per_dispatch_ms(f, n_dispatch, *fixed, n_warm=N_WARM)
         print(f"[{name}] per-dispatch after committing program layouts: "
               f"{disp2:.3f} ms")
     return disp
 
 
-# fine-bucket sentence-count mix ~ Poisson(9) clipped (scan_bench.MIX)
-SYNTH_MIX = ((8, 0.44), (12, 0.40), (16, 0.13), (20, 0.03))
-
-
-def synth_device_index(docs: int, d: int = 768):
-    """Synthesize a 1M-capable int8 index ON DEVICE (seconds, not the ~25 min
-    host build): per-bucket int8 sents + scales + consistent norms, global
-    doc ids, and the doc->(bucket, row) inverse map the fused path needs.
-    Every doc in a bucket uses the full bucket length (layout/timing audit
-    only cares about shapes and bytes, not ragged realism)."""
-    key = jax.random.key(0)
-    dev, db_parts, dr_parts, dl_parts = [], [], [], []
-    off = 0
-    for i, (s, frac) in enumerate(SYNTH_MIX):
-        n = max(8, int(docs * frac) // 8 * 8)
-        k1, k2 = jax.random.split(jax.random.fold_in(key, i))
-        sents = jax.random.randint(k1, (n, s, d), -127, 128, jnp.int8)
-        scales = jnp.abs(jax.random.normal(k2, (n, s), jnp.float32)) * 0.02 \
-            + 1e-3
-        norms = jnp.sum(jnp.square(sents.astype(jnp.float32)),
-                        axis=2) * scales ** 2
-        dev.append({"sents": sents, "norms": norms, "scales": scales,
-                    "doc_idx": jnp.arange(off, off + n, dtype=jnp.int32)})
-        db_parts.append(np.full((n,), i, np.int32))
-        dr_parts.append(np.arange(n, dtype=np.int32))
-        dl_parts.append(np.full((n,), s, np.int32))
-        off += n
-    pos = tuple(jnp.asarray(np.concatenate(p))
-                for p in (db_parts, dr_parts, dl_parts))
-    gb = sum(float(np.prod(v.shape)) * v.dtype.itemsize
-             for b in dev for v in b.values()) / 1e9
-    print(f"synth index: {off} docs, {gb:.2f} GB on device", flush=True)
-    return dev, pos
+from synth_index import synth_device_index  # noqa: E402 (path hack above)
 
 
 def main():
@@ -140,7 +113,13 @@ def main():
                     help="also audit the batched search + fused programs "
                          "at this query batch size")
     ap.add_argument("--q-chunk", type=int, default=4)
+    ap.add_argument("--only", type=str, default=None,
+                    help="substring filter: audit only matching programs")
+    ap.add_argument("--warm", type=int, default=2,
+                    help="warm executions before per-dispatch timing")
     args_cli = ap.parse_args()
+    global ONLY, N_WARM
+    ONLY, N_WARM = args_cli.only, args_cli.warm
     assert jax.default_backend() == "tpu", jax.default_backend()
     from aspire_tpu.train.trainer import enable_compilation_cache
     enable_compilation_cache()
